@@ -1,0 +1,204 @@
+"""Typed configuration for the TPU-native LOAM engine.
+
+Single source of truth for every numeric parameter of the pipeline. Defaults
+reproduce the reference (laboshinl/loam_velodyne) launch defaults:
+
+- registration params: reference BasicScanRegistration.h:34-72 and
+  BasicScanRegistration.cpp:9-26
+- odometry params:     reference BasicLaserOdometry.cpp:20-26, LaserOdometry.h:59
+- mapping params:      reference BasicLaserMapping.cpp:51-100
+- lidar ring tables:   reference MultiScanRegistration.h:83-89
+
+Unlike the reference (ROS parameter server, parsed per node at setup), the
+whole engine is configured from one frozen dataclass so that jitted programs
+specialize on static values.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@dataclasses.dataclass(frozen=True)
+class LidarConfig:
+    """Vertical ring geometry of a multi-ring spinning lidar.
+
+    Equivalent of the reference MultiScanMapper (MultiScanRegistration.cpp:41-66):
+    ring id = round((vertical_angle_deg - lower_bound) * factor).
+    """
+
+    name: str
+    lower_bound_deg: float
+    upper_bound_deg: float
+    n_rings: int
+    # Max points per ring after binning (fixed capacity; excess dropped).
+    max_points_per_ring: int = 2048
+
+    @property
+    def factor(self) -> float:
+        return (self.n_rings - 1) / (self.upper_bound_deg - self.lower_bound_deg)
+
+
+# Presets per the Velodyne data sheets (reference MultiScanRegistration.h:83-89).
+VLP16 = LidarConfig("VLP-16", -15.0, 15.0, 16, max_points_per_ring=2048)
+HDL32 = LidarConfig("HDL-32", -30.67, 10.67, 32, max_points_per_ring=2304)
+HDL64E = LidarConfig("HDL-64E", -24.9, 2.0, 64, max_points_per_ring=2304)
+
+LIDAR_PRESETS = {c.name: c for c in (VLP16, HDL32, HDL64E)}
+
+
+@dataclasses.dataclass(frozen=True)
+class RegistrationConfig:
+    """Feature-extraction parameters (reference BasicScanRegistration.h:34-72)."""
+
+    scan_period: float = 0.1          # seconds per sweep
+    imu_history_size: int = 200       # IMU ring buffer capacity
+    n_feature_regions: int = 6        # regions per ring
+    curvature_region: int = 5         # +/- neighborhood for curvature
+    max_corner_sharp: int = 2         # sharp corners per region
+    max_surface_flat: int = 4         # flat points per region
+    less_flat_filter_size: float = 0.2   # voxel leaf for less-flat downsample
+    surface_curvature_threshold: float = 0.1
+    system_delay: int = 20            # sweeps dropped at startup (MultiScanRegistration.h:133)
+    # Static iteration caps for the greedy curvature-ordered pick loops. The
+    # reference scans candidates until the per-region quota is met; on TPU the
+    # loop is a fixed-length fori_loop over the top-K curvature-sorted
+    # candidates per region. 128/64 cover the quota (20 corners / 4 flats)
+    # with large margin.
+    corner_scan_cap: int = 96
+    flat_scan_cap: int = 64
+    min_sq_range: float = 1e-4        # zero-point filter (MultiScanRegistration.cpp:194)
+
+    @property
+    def max_corner_less_sharp(self) -> int:
+        # reference BasicScanRegistration.cpp:22
+        return 10 * self.max_corner_sharp
+
+
+@dataclasses.dataclass(frozen=True)
+class OdometryConfig:
+    """Scan-to-scan alignment parameters (reference BasicLaserOdometry.cpp:20-36)."""
+
+    max_iterations: int = 25
+    delta_t_abort: float = 0.1        # cm-scale translation abort
+    delta_r_abort: float = 0.1        # degree-scale rotation abort
+    corresp_refresh_every: int = 5    # re-find correspondences every N iters
+    nn_sq_dist_gate: float = 25.0     # 1-NN acceptance gate (m^2)
+    ring_bracket: float = 2.5         # +/- rings for secondary line/plane points
+    weight_decay: float = 1.8         # robust weight s = 1 - 1.8*|d| after iter 5
+    weight_floor: float = 0.1         # drop residuals with s <= 0.1
+    residual_scale: float = 0.05      # matB = -0.05*d (BasicLaserOdometry.cpp:553)
+    degeneracy_eigen_threshold: float = 10.0
+    min_corner_points: int = 10       # skip solve below these cloud sizes
+    min_surface_points: int = 100
+    min_selected: int = 10            # skip iteration if fewer residuals
+    io_ratio: int = 2                 # publish clouds to mapping every Nth frame
+    rot_y_fudge: float = 1.05         # drift compensation (BasicLaserOdometry.cpp:631)
+    pos_z_fudge: float = 1.05         # drift compensation (BasicLaserOdometry.cpp:637)
+
+
+@dataclasses.dataclass(frozen=True)
+class MappingConfig:
+    """Scan-to-map parameters (reference BasicLaserMapping.cpp:51-100)."""
+
+    max_iterations: int = 10
+    delta_t_abort: float = 0.05
+    delta_r_abort: float = 0.05
+    cube_size: float = 50.0           # meters per map cube
+    grid_width: int = 21              # cubes along x
+    grid_height: int = 11             # cubes along y
+    grid_depth: int = 21              # cubes along z
+    center_width: int = 10            # initial center cube index
+    center_height: int = 5
+    center_depth: int = 10
+    recenter_margin: int = 3          # keep sensor >= 3 cubes from grid edge
+    neighborhood: int = 2             # +/- cubes searched around center (5x5x5)
+    corner_leaf: float = 0.2          # voxel leaf sizes (BasicLaserMapping.cpp:98-99)
+    surf_leaf: float = 0.4
+    stack_frame_num: int = 1
+    map_frame_num: int = 5            # surround map publish cadence
+    nn_sq_dist_gate: float = 1.0      # 5th-NN gate (m^2)
+    line_eigen_ratio: float = 3.0     # corner validity lambda2 > 3*lambda1
+    line_half_length: float = 0.1     # +/- offset along edge direction
+    plane_max_residual: float = 0.2   # plane validity gate
+    corner_weight_decay: float = 0.9  # s = 1 - 0.9*|d|
+    weight_floor: float = 0.1
+    degeneracy_eigen_threshold: float = 100.0
+    imu_blend: float = 0.002          # roll/pitch IMU blend (BasicLaserMapping.cpp:197-198)
+    min_corner_map_points: int = 10
+    min_surface_map_points: int = 100
+    min_selected: int = 50
+    # Fixed per-cube point capacities (TPU slab layout).
+    corner_cube_capacity: int = 320
+    surf_cube_capacity: int = 768
+    fov_half_aperture_term: float = 100.0  # FOV check constant (BasicLaserMapping.cpp:477-481)
+
+    @property
+    def n_cubes(self) -> int:
+        return self.grid_width * self.grid_height * self.grid_depth
+
+    @property
+    def n_neighborhood_cubes(self) -> int:
+        side = 2 * self.neighborhood + 1
+        return side * side * side
+
+
+@dataclasses.dataclass(frozen=True)
+class Capacities:
+    """Fixed array capacities for feature clouds (TPU static shapes).
+
+    The reference uses dynamically sized pcl clouds; on TPU every boundary is a
+    fixed-capacity padded array with a validity mask.
+    """
+
+    sharp: int = 256          # sharp corners per sweep
+    less_sharp: int = 2048    # less-sharp corners per sweep
+    flat: int = 512           # flat surface points per sweep
+    less_flat: int = 8192     # downsampled less-flat points per sweep
+    full_cloud: int = 40960   # full-resolution reprojected sweep
+    map_corner_search: int = 0   # filled in derive()
+    map_surf_search: int = 0
+
+    @staticmethod
+    def for_lidar(lidar: LidarConfig, reg: RegistrationConfig,
+                  mapping: MappingConfig) -> "Capacities":
+        r, n = lidar.n_rings, reg.n_feature_regions
+        sharp = _round_up(r * n * reg.max_corner_sharp, 128)
+        less_sharp = _round_up(r * n * reg.max_corner_less_sharp, 128)
+        flat = _round_up(r * n * reg.max_surface_flat, 128)
+        less_flat = _round_up(min(r * 512, 8192), 128)
+        full = _round_up(r * lidar.max_points_per_ring, 128)
+        ncubes = mapping.n_neighborhood_cubes
+        return Capacities(
+            sharp=sharp, less_sharp=less_sharp, flat=flat,
+            less_flat=less_flat, full_cloud=full,
+            map_corner_search=ncubes * mapping.corner_cube_capacity,
+            map_surf_search=ncubes * mapping.surf_cube_capacity,
+        )
+
+
+@dataclasses.dataclass(frozen=True)
+class LoamConfig:
+    """Top-level engine configuration."""
+
+    lidar: LidarConfig = VLP16
+    registration: RegistrationConfig = RegistrationConfig()
+    odometry: OdometryConfig = OdometryConfig()
+    mapping: MappingConfig = MappingConfig()
+    capacities: Optional[Capacities] = None
+
+    def __post_init__(self):
+        if self.capacities is None:
+            object.__setattr__(
+                self, "capacities",
+                Capacities.for_lidar(self.lidar, self.registration, self.mapping))
+
+    @staticmethod
+    def preset(lidar_name: str = "VLP-16", **overrides) -> "LoamConfig":
+        lidar = LIDAR_PRESETS[lidar_name]
+        return LoamConfig(lidar=lidar, **overrides)
