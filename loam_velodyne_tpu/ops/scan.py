@@ -1,0 +1,169 @@
+"""Sweep ingest: raw lidar points → per-ring grid, on device.
+
+TPU-native equivalent of the reference ingest loop
+(MultiScanRegistration.cpp:158-234), which walks ~30k points serially on
+the host doing axis swap, NaN/zero filtering, vertical-angle ring
+binning, horizontal-angle unwrap ("halfPassed") and relative-time
+computation, then buckets points into per-ring vectors. Here the whole
+pass is a fixed-shape vectorized program: the sequential halfPassed
+state becomes a cumulative-or, and the ring bucketing becomes one stable
+sort by ring id (stable keeps azimuth order within a ring, matching the
+reference's push_back order).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from loam_velodyne_tpu.config import LidarConfig, RegistrationConfig
+from loam_velodyne_tpu.types import PointSet, RingGrid
+
+Array = jax.Array
+
+
+class RawSweep(NamedTuple):
+    """Host-delivered raw sweep in the sensor frame (x fwd, y left, z up).
+
+    xyz:  (N, 3) float32, front-packed valid points
+    mask: (N,)  bool
+    """
+
+    xyz: Array
+    mask: Array
+
+
+def swap_axes(xyz: Array) -> Array:
+    """Sensor frame → LOAM camera-style frame.
+
+    (x, y, z) := (y_in, z_in, x_in)  [reference MultiScanRegistration.cpp:182-184]
+    """
+    return jnp.stack([xyz[..., 1], xyz[..., 2], xyz[..., 0]], axis=-1)
+
+
+def ring_for_angle(angle_rad: Array, lidar: LidarConfig) -> Array:
+    """Vertical angle → ring id (reference MultiScanRegistration.cpp:64-66)."""
+    deg = angle_rad * jnp.float32(180.0 / math.pi)
+    return jnp.round((deg - lidar.lower_bound_deg) * lidar.factor).astype(jnp.int32)
+
+
+def _sweep_orientations(swapped: Array, mask: Array) -> Tuple[Array, Array]:
+    """Start/end horizontal orientation from the first/last valid point.
+
+    Reference MultiScanRegistration.cpp:161-172 (computed there on raw
+    coordinates; -atan2(y_raw, x_raw) == -atan2(x_swapped, z_swapped)).
+    """
+    n = jnp.maximum(jnp.sum(mask), 1)
+    first = swapped[0]
+    last = swapped[n - 1]
+    start_ori = -jnp.arctan2(first[0], first[2])
+    end_ori = -jnp.arctan2(last[0], last[2]) + jnp.float32(2 * math.pi)
+    span = end_ori - start_ori
+    end_ori = jnp.where(span > 3 * math.pi, end_ori - jnp.float32(2 * math.pi),
+                        jnp.where(span < math.pi, end_ori + jnp.float32(2 * math.pi),
+                                  end_ori))
+    return start_ori, end_ori
+
+
+def relative_times(swapped: Array, mask: Array) -> Array:
+    """Per-point sweep-relative time fraction in [0, 1].
+
+    Vectorized form of the halfPassed unwrap
+    (MultiScanRegistration.cpp:205-229): the sequential boolean flip
+    becomes a cumulative-or over the azimuth-ordered stream, and the two
+    per-branch re-windowing rules are applied as masked selects. Returns
+    the fraction relTime/scanPeriod; multiply by scan_period for seconds.
+    """
+    start_ori, end_ori = _sweep_orientations(swapped, mask)
+    two_pi = jnp.float32(2 * math.pi)
+    half_pi = jnp.float32(math.pi / 2)
+    pi = jnp.float32(math.pi)
+
+    ori = -jnp.arctan2(swapped[:, 0], swapped[:, 2])
+
+    # Pre-half branch: window ori into [startOri - pi/2, startOri + 3pi/2).
+    ori_pre = jnp.where(ori < start_ori - half_pi, ori + two_pi,
+                        jnp.where(ori > start_ori + 3 * half_pi, ori - two_pi, ori))
+    # halfPassed flips permanently once a (valid) point exceeds startOri + pi;
+    # the flipping point itself is still processed with the pre branch, so the
+    # flag for point i is an EXCLUSIVE cumulative-or over points < i.
+    crossed = ((ori_pre - start_ori > pi) & mask).astype(jnp.int32)
+    half_passed = (jnp.cumsum(crossed) - crossed) > 0
+
+    # Post-half branch: window ori + 2pi into [endOri - 3pi/2, endOri + pi/2).
+    ori_post = ori + two_pi
+    ori_post = jnp.where(ori_post < end_ori - 3 * half_pi, ori_post + two_pi,
+                         jnp.where(ori_post > end_ori + half_pi, ori_post - two_pi,
+                                   ori_post))
+
+    ori_final = jnp.where(half_passed, ori_post, ori_pre)
+    return (ori_final - start_ori) / (end_ori - start_ori)
+
+
+def ingest_sweep(raw: RawSweep, lidar: LidarConfig,
+                 reg: RegistrationConfig) -> Tuple[RingGrid, PointSet]:
+    """Full device-side ingest: filter, bin, time, bucket.
+
+    Returns the per-ring grid for feature extraction plus the flat
+    full-resolution cloud in ring-major azimuth order (the ordering of
+    the reference's concatenated ``_laserCloud``,
+    BasicScanRegistration.cpp:34-42).
+    """
+    n, r_rings = raw.xyz.shape[0], lidar.n_rings
+    p_cap = lidar.max_points_per_ring
+
+    swapped = swap_axes(raw.xyz)
+    finite = jnp.all(jnp.isfinite(swapped), axis=-1)
+    swapped = jnp.where(finite[:, None], swapped, 0.0)
+    sq_range = jnp.sum(swapped * swapped, axis=-1)
+
+    vert = jnp.arctan2(swapped[:, 1],
+                       jnp.sqrt(swapped[:, 0] ** 2 + swapped[:, 2] ** 2))
+    ring = ring_for_angle(vert, lidar)
+
+    valid = (raw.mask & finite
+             & (sq_range >= reg.min_sq_range)
+             & (ring >= 0) & (ring < r_rings))
+
+    rel = relative_times(swapped, raw.mask)
+    rel = jnp.clip(rel, 0.0, 2.0)  # guard degenerate sweeps; nominal range [0,1]
+
+    # Stable sort by ring; invalid points sort to a sentinel ring at the end.
+    ring_key = jnp.where(valid, ring, r_rings)
+    order = jnp.argsort(ring_key, stable=True)
+    ring_s = ring_key[order]
+    xyz_s = swapped[order]
+    rel_s = rel[order]
+    valid_s = valid[order]
+
+    # Rank within ring = global sorted position - ring start offset.
+    counts = jnp.zeros((r_rings + 1,), jnp.int32).at[ring_s].add(1)
+    starts = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                              jnp.cumsum(counts)[:-1].astype(jnp.int32)])
+    pos = jnp.arange(n, dtype=jnp.int32)
+    rank = pos - starts[jnp.clip(ring_s, 0, r_rings)]
+
+    keep = valid_s & (rank < p_cap)
+    # Scatter into the (R, P) grid through a flat index; dropped/invalid
+    # points all land in a trash row beyond the grid.
+    flat_idx = jnp.where(keep, ring_s * p_cap + rank, r_rings * p_cap)
+    grid_xyz = (jnp.zeros((r_rings * p_cap + 1, 3), jnp.float32)
+                .at[flat_idx].set(jnp.where(keep[:, None], xyz_s, 0.0),
+                                  mode="drop")[:-1]
+                .reshape(r_rings, p_cap, 3))
+    grid_rel = (jnp.zeros((r_rings * p_cap + 1,), jnp.float32)
+                .at[flat_idx].set(jnp.where(keep, rel_s, 0.0), mode="drop")[:-1]
+                .reshape(r_rings, p_cap))
+    grid_mask = (jnp.zeros((r_rings * p_cap + 1,), bool)
+                 .at[flat_idx].set(keep, mode="drop")[:-1]
+                 .reshape(r_rings, p_cap))
+    grid_count = jnp.minimum(counts[:r_rings], p_cap)
+
+    grid = RingGrid(xyz=grid_xyz, rel=grid_rel, mask=grid_mask, count=grid_count)
+    full = PointSet(xyz=xyz_s, rel=rel_s,
+                    ring=jnp.where(valid_s, ring_s, 0).astype(jnp.int32),
+                    mask=keep)
+    return grid, full
