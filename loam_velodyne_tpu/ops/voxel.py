@@ -1,0 +1,90 @@
+"""Voxel-grid downsampling on device (PCL VoxelGrid equivalent).
+
+The reference leans on pcl::VoxelGrid (hash-map based, host) in three
+places: less-flat feature thinning (BasicScanRegistration.cpp:245-252)
+and corner/surf map-stack thinning (BasicLaserMapping.cpp:518-527,
+580-593). On TPU there is no hash map; the same centroid-per-cell
+reduction is computed with fixed shapes via lexicographic sort +
+segment-sum: quantize to cells, sort points so cell-mates are adjacent,
+detect segment starts, segment-sum coordinates, and compact one
+centroid per cell to the front of a fixed-capacity output.
+
+Deterministic and order-independent (up to float summation order),
+which is all downstream consumers need — the accuracy gate is
+trajectory error, not point-set equality.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from loam_velodyne_tpu.types import PointSet
+
+Array = jax.Array
+
+
+def _compact(values: Array, keep: Array, capacity: int):
+    """Front-pack rows of ``values`` where ``keep`` is True, into a fixed
+    capacity. Returns (packed_values, packed_mask). Stable order."""
+    n = keep.shape[0]
+    order = jnp.argsort(~keep, stable=True)
+    packed = jax.tree_util.tree_map(lambda v: v[order][:capacity], values)
+    kept = keep[order][:capacity]
+    return packed, kept
+
+
+def voxel_downsample(ps: PointSet, leaf: float, capacity: int,
+                     per_ring: bool = False) -> PointSet:
+    """Centroid-per-voxel downsample of a padded point set.
+
+    per_ring=True reproduces the reference's per-scanline filtering
+    (each ring is voxelized independently; the same cell occupied from
+    two rings yields two output points), by including the ring id in the
+    cell identity.
+    """
+    xyz, mask = ps.xyz, ps.mask
+    n = xyz.shape[0]
+    inv = jnp.float32(1.0 / leaf)
+
+    # Cell coordinates relative to the valid-point minimum corner
+    # (mirrors PCL's min-corner-based binning; keeps indices small).
+    big = jnp.float32(1e9)
+    mins = jnp.min(jnp.where(mask[:, None], xyz, big), axis=0)
+    cell = jnp.floor((xyz - mins) * inv).astype(jnp.int32)
+    cell = jnp.where(mask[:, None], cell, -1)
+
+    ring_key = jnp.where(mask, ps.ring, -1) if per_ring else jnp.zeros_like(ps.ring)
+
+    # Lexicographic sort; invalid points (cell=-1) group together at the
+    # front and are masked out of the output.
+    order = jnp.lexsort((cell[:, 2], cell[:, 1], cell[:, 0], ring_key,
+                         (~mask).astype(jnp.int32)))
+    cell_s = cell[order]
+    ring_s = ring_key[order]
+    mask_s = mask[order]
+    xyz_s = xyz[order]
+    rel_s = ps.rel[order]
+    real_ring_s = ps.ring[order]
+
+    prev_differs = jnp.any(cell_s[1:] != cell_s[:-1], axis=1) | (ring_s[1:] != ring_s[:-1])
+    seg_start = jnp.concatenate([jnp.ones((1,), bool), prev_differs]) & mask_s
+    seg_id = jnp.cumsum(seg_start.astype(jnp.int32)) - 1
+    seg_id = jnp.where(mask_s, seg_id, n - 1)  # shunt padding to last segment
+
+    ssum = partial(jax.ops.segment_sum, num_segments=n)
+    cnt = ssum(mask_s.astype(jnp.float32), seg_id)
+    cx = ssum(jnp.where(mask_s[:, None], xyz_s, 0.0), seg_id)
+    cr = ssum(jnp.where(mask_s, rel_s, 0.0), seg_id)
+    denom = jnp.maximum(cnt, 1.0)
+    centroid = cx / denom[:, None]
+    rel_mean = cr / denom
+
+    # One output row per segment: place the centroid at each segment's
+    # first sorted position, then compact.
+    vals = PointSet(xyz=centroid[seg_id], rel=rel_mean[seg_id],
+                    ring=real_ring_s, mask=seg_start)
+    packed, kept = _compact(vals, seg_start, capacity)
+    return PointSet(xyz=packed.xyz, rel=packed.rel, ring=packed.ring, mask=kept)
