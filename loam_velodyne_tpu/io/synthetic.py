@@ -185,7 +185,8 @@ def loam_frame_positions(traj: Callable[[float], Tuple[np.ndarray, float]],
 def generate_sequence(n_sweeps: int, lidar: LidarConfig = VLP16,
                       n_azimuth: int = 900, scan_period: float = 0.1,
                       speed: float = 1.0, noise_std: float = 0.0,
-                      world: List[Rect] | None = None):
+                      world: List[Rect] | None = None,
+                      traj: Callable[[float], Tuple[np.ndarray, float]] | None = None):
     """Generate a sweep sequence + ground truth.
 
     Returns (sweeps, gt_positions, times): sweeps is a list of (N_i, 3)
@@ -194,7 +195,8 @@ def generate_sequence(n_sweeps: int, lidar: LidarConfig = VLP16,
     timestamps correspond to sweep end).
     """
     rects = corridor_world() if world is None else world
-    traj = straight_trajectory(speed=speed)
+    if traj is None:
+        traj = straight_trajectory(speed=speed)
     sweeps = [raycast_sweep(rects, traj, i * scan_period, lidar, n_azimuth,
                             scan_period, noise_std, seed=i)
               for i in range(n_sweeps)]

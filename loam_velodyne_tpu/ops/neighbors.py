@@ -1,0 +1,116 @@
+"""Correspondence search: masked brute-force nearest neighbors.
+
+The reference builds nanoflann KD-trees over the previous sweep's
+feature clouds and, per query, does a 1-NN lookup plus an index-ordered
+walk across neighboring scan rings (BasicLaserOdometry.cpp:246-297 for
+corners, :364-441 for surfaces; trees rebuilt per sweep :654-664).
+
+On TPU, tree traversal is hostile (data-dependent branching) while the
+feature sets are small (10^2-10^3 corners, 10^3-10^4 surfels), so the
+whole search is a masked pairwise-distance problem: one (Q, M) distance
+matrix per cloud pair, with the ring-bracket walks expressed as masked
+argmins over the same matrix. The reference's ring-major cloud ordering
+made "walk the index range" equal "points within +/-2 rings"; here the
+ring ids are explicit, so the masks say exactly what the walk meant:
+
+- corner second point: nearest with ring != ring(nn), |dring| <= 2
+- surf second point:   nearest with ring == ring(nn), index != nn
+- surf third point:    nearest with ring != ring(nn), |dring| <= 2
+
+All candidate gates are 25 m^2 (the reference's minPointSqDis inits).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from loam_velodyne_tpu.types import PointSet
+
+Array = jax.Array
+
+NN_GATE_SQ = 25.0
+RING_BRACKET = 2
+
+
+def pairwise_sq_dist(q: Array, p: Array) -> Array:
+    """(Q,3) x (M,3) -> (Q,M) squared distances, full f32 on the VPU.
+
+    Kept as three fused (Q,M) broadcast terms rather than a matmul: the
+    |q|^2+|p|^2-2qp MXU form loses ~3 decimal digits to bf16 rounding
+    and cancellation, which is enough to flip nearest neighbors at the
+    sub-meter scales that matter here.
+    """
+    acc = jnp.zeros((q.shape[0], p.shape[0]), jnp.float32)
+    for k in range(3):
+        d = q[:, None, k] - p[None, :, k]
+        acc = acc + d * d
+    return acc
+
+
+class CornerMatch(NamedTuple):
+    j: Array      # (Q,) index of nearest corner in last cloud
+    l: Array      # (Q,) index of second line point (different ring)
+    valid: Array  # (Q,) both points found within gates
+
+
+class SurfMatch(NamedTuple):
+    j: Array      # (Q,) nearest surfel
+    l: Array      # (Q,) second point, same ring
+    m: Array      # (Q,) third point, different ring
+    valid: Array
+
+
+def _masked_argmin(d2: Array, mask: Array) -> tuple[Array, Array]:
+    d = jnp.where(mask, d2, jnp.inf)
+    idx = jnp.argmin(d, axis=1)
+    return idx, jnp.take_along_axis(d, idx[:, None], axis=1)[:, 0]
+
+
+def corner_correspondences(query_xyz: Array, query_mask: Array,
+                           last: PointSet) -> CornerMatch:
+    """Point-to-line pairs (reference BasicLaserOdometry.cpp:246-302)."""
+    d2 = pairwise_sq_dist(query_xyz, last.xyz)
+    j, dj = _masked_argmin(d2, last.mask[None, :])
+    ok_j = (dj < NN_GATE_SQ) & query_mask
+
+    ring_j = last.ring[j]                          # (Q,)
+    dring = last.ring[None, :] - ring_j[:, None]   # (Q,M)
+    bracket = (dring != 0) & (jnp.abs(dring) <= RING_BRACKET) & last.mask[None, :]
+    l, dl = _masked_argmin(d2, bracket)
+    ok_l = dl < NN_GATE_SQ
+    return CornerMatch(j=j, l=l, valid=ok_j & ok_l)
+
+
+def surf_correspondences(query_xyz: Array, query_mask: Array,
+                         last: PointSet) -> SurfMatch:
+    """Point-to-plane tripods (reference BasicLaserOdometry.cpp:364-441)."""
+    mcap = last.xyz.shape[0]
+    d2 = pairwise_sq_dist(query_xyz, last.xyz)
+    j, dj = _masked_argmin(d2, last.mask[None, :])
+    ok_j = (dj < NN_GATE_SQ) & query_mask
+
+    ring_j = last.ring[j]
+    dring = last.ring[None, :] - ring_j[:, None]
+    col = jnp.arange(mcap)[None, :]
+    same_ring = (dring == 0) & (col != j[:, None]) & last.mask[None, :]
+    diff_ring = (dring != 0) & (jnp.abs(dring) <= RING_BRACKET) & last.mask[None, :]
+
+    l, dl = _masked_argmin(d2, same_ring)
+    m, dm = _masked_argmin(d2, diff_ring)
+    valid = ok_j & (dl < NN_GATE_SQ) & (dm < NN_GATE_SQ)
+    return SurfMatch(j=j, l=l, m=m, valid=valid)
+
+
+def knn_sq_dist(query_xyz: Array, query_mask: Array, ref_xyz: Array,
+                ref_mask: Array, k: int) -> tuple[Array, Array]:
+    """k nearest neighbors by brute force: returns (indices (Q,k),
+    sq_dists (Q,k)). Used by the mapping stage's 5-NN fits
+    (BasicLaserMapping.cpp:665-817 equivalent)."""
+    d2 = pairwise_sq_dist(query_xyz, ref_xyz)
+    d2 = jnp.where(ref_mask[None, :], d2, jnp.inf)
+    d2 = jnp.where(query_mask[:, None], d2, jnp.inf)
+    neg_top, idx = jax.lax.top_k(-d2, k)
+    return idx, -neg_top
