@@ -137,6 +137,11 @@ class MappingConfig:
     corner_cube_capacity: int = 320
     surf_cube_capacity: int = 768
     fov_half_aperture_term: float = 100.0  # FOV check constant (BasicLaserMapping.cpp:477-481)
+    # Downsampled feature-stack capacities (inputs to the map GN).
+    corner_stack_capacity: int = 2048
+    surf_stack_capacity: int = 4096
+    # Candidate window for the axis-sorted 5-NN search (ops/neighbors.py).
+    knn_window: int = 1024
 
     @property
     def n_cubes(self) -> int:

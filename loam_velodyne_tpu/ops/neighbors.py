@@ -107,10 +107,54 @@ def surf_correspondences(query_xyz: Array, query_mask: Array,
 def knn_sq_dist(query_xyz: Array, query_mask: Array, ref_xyz: Array,
                 ref_mask: Array, k: int) -> tuple[Array, Array]:
     """k nearest neighbors by brute force: returns (indices (Q,k),
-    sq_dists (Q,k)). Used by the mapping stage's 5-NN fits
-    (BasicLaserMapping.cpp:665-817 equivalent)."""
+    sq_dists (Q,k)). Used for small reference sets and as the exactness
+    oracle for windowed_knn in tests."""
     d2 = pairwise_sq_dist(query_xyz, ref_xyz)
     d2 = jnp.where(ref_mask[None, :], d2, jnp.inf)
     d2 = jnp.where(query_mask[:, None], d2, jnp.inf)
     neg_top, idx = jax.lax.top_k(-d2, k)
     return idx, -neg_top
+
+
+class SortedCloud(NamedTuple):
+    """A point cloud sorted along one spatial axis for windowed search."""
+
+    xyz: Array    # (M, 3) sorted by xyz[:, axis]; padding at the end
+    mask: Array   # (M,)
+    keys: Array   # (M,) sort keys (= xyz[:, axis], +inf for padding)
+    axis: int
+
+
+def sort_cloud(xyz: Array, mask: Array, axis: int = 2) -> SortedCloud:
+    keys = jnp.where(mask, xyz[:, axis], jnp.inf)
+    order = jnp.argsort(keys)
+    return SortedCloud(xyz=xyz[order], mask=mask[order], keys=keys[order],
+                       axis=axis)
+
+
+def windowed_knn(query_xyz: Array, query_mask: Array, ref: SortedCloud,
+                 k: int, window: int) -> tuple[Array, Array]:
+    """k-NN against an axis-sorted cloud using per-query windows.
+
+    TPU replacement for the mapping stage's per-point KD-tree 5-NN
+    (BasicLaserMapping.cpp:669-671, :758-760): each query binary-searches
+    its position along the sort axis (searchsorted) and computes exact
+    distances only to a contiguous window of ``window`` sorted
+    candidates around it. Exact whenever the true k-NN lie within the
+    window along the axis — with a 1 m acceptance gate
+    (MappingConfig.nn_sq_dist_gate) and map resolution 0.2-0.4 m, a
+    window of O(10^3) is conservative; a miss degrades one
+    correspondence, not correctness (the gate filters it).
+
+    Returns (indices into the sorted cloud (Q,k), sq_dists (Q,k)).
+    """
+    m = ref.xyz.shape[0]
+    pos = jnp.searchsorted(ref.keys, query_xyz[:, ref.axis])
+    start = jnp.clip(pos - window // 2, 0, jnp.maximum(m - window, 0))
+    cols = start[:, None] + jnp.arange(window)[None, :]     # (Q, W)
+    cand = ref.xyz[cols]                                    # (Q, W, 3)
+    d2 = jnp.sum((cand - query_xyz[:, None, :]) ** 2, axis=-1)
+    d2 = jnp.where(ref.mask[cols], d2, jnp.inf)
+    d2 = jnp.where(query_mask[:, None], d2, jnp.inf)
+    neg_top, widx = jax.lax.top_k(-d2, k)
+    return jnp.take_along_axis(cols, widx, axis=1), -neg_top
