@@ -1,0 +1,132 @@
+"""Host-side driver: feeds sweeps to the on-device engine.
+
+Equivalent of the reference's ROS adapter layer (ScanRegistration /
+LaserOdometry / LaserMapping / TransformMaintenance wrappers + roslaunch
+wiring): subscribes to a sweep source, applies the startup delay
+(_systemDelay=20 dropped sweeps, MultiScanRegistration.cpp:145-149),
+pads to fixed device shapes, runs the jitted engine step, and exports
+poses/clouds. Back-pressure semantics (queue depth 2, latest-wins) are
+a host concern here — the device step is synchronous and deterministic.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Iterable, Iterator, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from loam_velodyne_tpu.config import LoamConfig
+from loam_velodyne_tpu.models import engine as engine_mod
+from loam_velodyne_tpu.models.odometry import ImuSweepState
+from loam_velodyne_tpu.ops.scan import RawSweep
+from loam_velodyne_tpu.utils.checkpoint import load_pytree, save_pytree
+
+
+class LoamDriver:
+    """Owns the engine state and the host<->device boundary."""
+
+    def __init__(self, cfg: Optional[LoamConfig] = None,
+                 sweep_capacity: int = 32768,
+                 system_delay: Optional[int] = None):
+        self.cfg = cfg or LoamConfig.preset("VLP-16")
+        self.sweep_capacity = sweep_capacity
+        self.system_delay = (self.cfg.registration.system_delay
+                             if system_delay is None else system_delay)
+        self._delay_left = self.system_delay
+        self.state = engine_mod.EngineState.create(self.cfg)
+        self._step = jax.jit(
+            lambda state, raw: engine_mod.step(state, raw, self.cfg))
+        self.trajectory: List[np.ndarray] = []        # fused poses (6,)
+        self.odom_trajectory: List[np.ndarray] = []
+        self.mapped_trajectory: List[np.ndarray] = []
+        self.step_times: List[float] = []
+
+    # ------------------------------------------------------------------
+    # Feeding
+    # ------------------------------------------------------------------
+    def pad_sweep(self, pts: np.ndarray) -> RawSweep:
+        n = min(len(pts), self.sweep_capacity)
+        xyz = np.zeros((self.sweep_capacity, 3), np.float32)
+        xyz[:n] = pts[:n]
+        mask = np.zeros((self.sweep_capacity,), bool)
+        mask[:n] = True
+        return RawSweep(xyz=jnp.asarray(xyz), mask=jnp.asarray(mask))
+
+    def process_sweep(self, pts: np.ndarray) -> Optional[engine_mod.EngineOutputs]:
+        """Feed one raw sweep (N,3) in the sensor frame. Returns outputs,
+        or None while the startup delay is draining."""
+        if self._delay_left > 0:
+            self._delay_left -= 1
+            return None
+        raw = self.pad_sweep(pts)
+        t0 = time.perf_counter()
+        self.state, outs = self._step(self.state, raw)
+        fused = np.asarray(outs.fused_pose)
+        self.step_times.append(time.perf_counter() - t0)
+        self.trajectory.append(fused)
+        self.odom_trajectory.append(np.asarray(outs.odom_pose))
+        self.mapped_trajectory.append(np.asarray(outs.mapped_pose))
+        return outs
+
+    def run(self, sweeps: Iterable[np.ndarray]) -> np.ndarray:
+        """Process a full sequence; returns fused positions (K, 3)."""
+        for pts in sweeps:
+            self.process_sweep(pts)
+        return self.positions()
+
+    def positions(self) -> np.ndarray:
+        if not self.trajectory:
+            return np.zeros((0, 3))
+        return np.stack(self.trajectory)[:, 3:]
+
+    # ------------------------------------------------------------------
+    # Checkpoint / resume (SURVEY.md §5: the reference loses the map on
+    # crash; here the engine is restartable mid-bag).
+    # ------------------------------------------------------------------
+    def save_checkpoint(self, path: str) -> None:
+        save_pytree(path, self.state)
+
+    def load_checkpoint(self, path: str) -> None:
+        template = engine_mod.EngineState.create(self.cfg)
+        self.state = load_pytree(path, template)
+
+    # ------------------------------------------------------------------
+    # Exports
+    # ------------------------------------------------------------------
+    def export_tum(self, path: str, dt: float | None = None) -> None:
+        """Trajectory in TUM format (timestamp tx ty tz qx qy qz qw),
+        LOAM camera frame."""
+        from loam_velodyne_tpu.utils import math as lm
+        dt = dt or self.cfg.registration.scan_period
+        with open(path, "w") as f:
+            for k, pose in enumerate(self.trajectory):
+                r = np.asarray(lm.pose_rot_mat(jnp.asarray(pose)))
+                q = _rot_to_quat(r)
+                t = pose[3:]
+                f.write(f"{k * dt:.6f} {t[0]:.6f} {t[1]:.6f} {t[2]:.6f} "
+                        f"{q[0]:.6f} {q[1]:.6f} {q[2]:.6f} {q[3]:.6f}\n")
+
+
+def _rot_to_quat(r: np.ndarray) -> np.ndarray:
+    """Rotation matrix -> quaternion (x, y, z, w)."""
+    tr = np.trace(r)
+    if tr > 0:
+        s = np.sqrt(tr + 1.0) * 2
+        w = 0.25 * s
+        x = (r[2, 1] - r[1, 2]) / s
+        y = (r[0, 2] - r[2, 0]) / s
+        z = (r[1, 0] - r[0, 1]) / s
+    else:
+        i = int(np.argmax(np.diag(r)))
+        j, k = (i + 1) % 3, (i + 2) % 3
+        s = np.sqrt(max(r[i, i] - r[j, j] - r[k, k] + 1.0, 1e-12)) * 2
+        q = np.zeros(4)
+        q[i] = 0.25 * s
+        q[3] = (r[k, j] - r[j, k]) / s
+        q[j] = (r[j, i] + r[i, j]) / s
+        q[k] = (r[k, i] + r[i, k]) / s
+        x, y, z, w = q
+    return np.array([x, y, z, w])

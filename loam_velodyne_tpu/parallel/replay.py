@@ -1,0 +1,104 @@
+"""Multi-chip batched replay: shard independent sequences over a mesh.
+
+The reference's only parallelism is its 4-process pipeline on one host
+(SURVEY.md §2, "Parallelism strategies"). The TPU-native scaling story
+is offline batched replay: the engine step is a pure function of
+(state, sweep), so B independent bag segments/trajectories replay as a
+vmapped engine sharded over a device mesh — pure data parallelism on
+the batch axis riding ICI, no collectives in the step itself (stages
+communicate through the carried state, which stays device-resident).
+
+This is what `dryrun_multichip` in __graft_entry__.py exercises, and
+what a fleet-scale mapping job would use to chew through a bag archive.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from loam_velodyne_tpu.config import LoamConfig
+from loam_velodyne_tpu.models import engine as engine_mod
+from loam_velodyne_tpu.ops.scan import RawSweep
+
+Array = jax.Array
+
+
+def stack_states(states) -> engine_mod.EngineState:
+    """Stack B engine states into one batched state (leading axis B)."""
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *states)
+
+
+def make_batched_step(cfg: LoamConfig, mesh: Mesh, axis: str = "data"):
+    """jit-compiled batched engine step sharded over ``axis`` of ``mesh``.
+
+    Inputs: batched EngineState (leaves with leading dim B) and a
+    batched RawSweep (B, N, 3)/(B, N); B must be divisible by the mesh
+    axis size. Returns (new_states, outputs), same sharding.
+    """
+
+    def step_one(state, raw):
+        return engine_mod.step(state, raw, cfg)
+
+    batched = jax.vmap(step_one)
+    shard = NamedSharding(mesh, P(axis))
+
+    def apply(states, raws):
+        states = jax.lax.with_sharding_constraint(states, shard)
+        raws = jax.lax.with_sharding_constraint(raws, shard)
+        return batched(states, raws)
+
+    return jax.jit(apply, out_shardings=(shard, shard))
+
+
+def replay_sequences(cfg: LoamConfig, sequences, mesh: Mesh,
+                     sweep_capacity: int = 32768) -> np.ndarray:
+    """Replay B equal-length sweep sequences in parallel over the mesh.
+
+    sequences: list of B lists of (N_i, 3) float32 arrays.
+    Returns fused positions (B, T, 3).
+    """
+    b = len(sequences)
+    t = len(sequences[0])
+    assert all(len(s) == t for s in sequences), "sequences must be equal length"
+
+    step = make_batched_step(cfg, mesh)
+    states = stack_states([engine_mod.EngineState.create(cfg)
+                           for _ in range(b)])
+
+    out_positions = np.zeros((b, t, 3), np.float32)
+    for k in range(t):
+        xyz = np.zeros((b, sweep_capacity, 3), np.float32)
+        mask = np.zeros((b, sweep_capacity), bool)
+        for i, seq in enumerate(sequences):
+            pts = seq[k][:sweep_capacity]
+            xyz[i, :len(pts)] = pts
+            mask[i, :len(pts)] = True
+        raw = RawSweep(xyz=jnp.asarray(xyz), mask=jnp.asarray(mask))
+        states, outs = step(states, raw)
+        out_positions[:, k] = np.asarray(outs.fused_pose)[:, 3:]
+    return out_positions
+
+
+def tiny_config() -> LoamConfig:
+    """A miniature config for multi-chip dry runs and CI: same code
+    paths, toy shapes."""
+    from loam_velodyne_tpu.config import (Capacities, LidarConfig,
+                                          MappingConfig, OdometryConfig,
+                                          RegistrationConfig)
+    lidar = LidarConfig("tiny", -15.0, 15.0, 4, max_points_per_ring=64)
+    reg = RegistrationConfig(corner_scan_cap=16, flat_scan_cap=16)
+    mapping = MappingConfig(
+        grid_width=5, grid_height=3, grid_depth=5,
+        center_width=2, center_height=1, center_depth=2,
+        recenter_margin=1, neighborhood=1,
+        corner_cube_capacity=32, surf_cube_capacity=64,
+        corner_stack_capacity=64, surf_stack_capacity=128,
+        knn_window=64, min_surface_map_points=10, min_selected=10)
+    odo = OdometryConfig(max_iterations=3, min_surface_points=10)
+    return LoamConfig(lidar=lidar, registration=reg, odometry=odo,
+                      mapping=mapping)
