@@ -39,6 +39,10 @@ class LoamDriver:
         self.state = engine_mod.EngineState.create(self.cfg)
         self._step = jax.jit(
             lambda state, raw: engine_mod.step(state, raw, self.cfg))
+        self._step_imu = jax.jit(
+            lambda state, raw, win: engine_mod.step(state, raw, self.cfg,
+                                                    win))
+        self.imu_tracker = None   # optional io.imu.ImuTracker
         self.trajectory: List[np.ndarray] = []        # fused poses (6,)
         self.odom_trajectory: List[np.ndarray] = []
         self.mapped_trajectory: List[np.ndarray] = []
@@ -55,15 +59,22 @@ class LoamDriver:
         mask[:n] = True
         return RawSweep(xyz=jnp.asarray(xyz), mask=jnp.asarray(mask))
 
-    def process_sweep(self, pts: np.ndarray) -> Optional[engine_mod.EngineOutputs]:
+    def process_sweep(self, pts: np.ndarray,
+                      stamp: Optional[float] = None
+                      ) -> Optional[engine_mod.EngineOutputs]:
         """Feed one raw sweep (N,3) in the sensor frame. Returns outputs,
-        or None while the startup delay is draining."""
+        or None while the startup delay is draining. If an imu_tracker is
+        attached and a stamp given, the sweep is IMU-deskewed."""
         if self._delay_left > 0:
             self._delay_left -= 1
             return None
         raw = self.pad_sweep(pts)
         t0 = time.perf_counter()
-        self.state, outs = self._step(self.state, raw)
+        if self.imu_tracker is not None and stamp is not None:
+            win = self.imu_tracker.window_for_sweep(stamp)
+            self.state, outs = self._step_imu(self.state, raw, win)
+        else:
+            self.state, outs = self._step(self.state, raw)
         fused = np.asarray(outs.fused_pose)
         self.step_times.append(time.perf_counter() - t0)
         self.trajectory.append(fused)

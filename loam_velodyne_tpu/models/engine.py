@@ -59,14 +59,26 @@ class EngineOutputs(NamedTuple):
 
 
 def step(state: EngineState, raw: scan_mod.RawSweep, cfg: LoamConfig,
-         imu: Optional[odometry_mod.ImuSweepState] = None
-         ) -> Tuple[EngineState, EngineOutputs]:
+         imu_window=None) -> Tuple[EngineState, EngineOutputs]:
     """Process one sweep through registration, odometry, mapping (on its
-    cadence) and fusion."""
-    grid, full = scan_mod.ingest_sweep(raw, cfg.lidar, cfg.registration)
+    cadence) and fusion. imu_window: optional ops.imu.ImuWindow with
+    timestamps relative to this sweep's start."""
+    grid, full = scan_mod.ingest_sweep(raw, cfg.lidar, cfg.registration,
+                                       imu_window)
     feats = extract_features(grid, cfg.registration, cfg.capacities)
 
-    ostate, oouts = odometry_mod.step(state.odometry, feats, cfg, imu)
+    if imu_window is not None:
+        from loam_velodyne_tpu.ops import imu as imu_ops
+        imu_state = imu_ops.sweep_state(imu_window,
+                                        cfg.registration.scan_period)
+        imu_rpy_blend = (imu_ops.interpolate(imu_window,
+                                             jnp.zeros((), jnp.float32))[0],
+                         imu_ops.has_data(imu_window))
+    else:
+        imu_state = None
+        imu_rpy_blend = None
+
+    ostate, oouts = odometry_mod.step(state.odometry, feats, cfg, imu_state)
 
     # Mapping cadence: the reference odometry forwards clouds on frames
     # where frameCount % ioRatio == 1 (LaserOdometry.cpp:320), and never
@@ -78,7 +90,7 @@ def step(state: EngineState, raw: scan_mod.RawSweep, cfg: LoamConfig,
     def run_mapping(_):
         mstate, mouts = mapping_mod.step(
             state.mapping, oouts.transform_sum, oouts.corner_cloud,
-            oouts.surf_cloud, cfg)
+            oouts.surf_cloud, cfg, imu_rpy_blend)
         fstate = fusion_mod.update_mapping(state.fusion, mouts.transform_aft,
                                            mouts.transform_bef)
         return mstate, fstate

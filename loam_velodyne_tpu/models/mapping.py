@@ -370,13 +370,14 @@ def _line_dist(x0: Array, a: Array, b: Array) -> Tuple[Array, Array]:
 
 def step(state: MappingState, odom_pose: Array, corner_cloud: PointSet,
          surf_cloud: PointSet, cfg: LoamConfig,
-         imu_rpy: Optional[Array] = None
+         imu_rpy: Optional[Tuple[Array, Array]] = None
          ) -> Tuple[MappingState, MappingOutputs]:
     """One mapping refinement (reference BasicLaserMapping::process).
 
     odom_pose: the odometry transform_sum this frame.
     corner_cloud / surf_cloud: odometry's last clouds (sensor frame).
-    imu_rpy: optional (roll, pitch) for the 0.998/0.002 attitude blend.
+    imu_rpy: optional ((roll, pitch, yaw), valid) for the 0.998/0.002
+    attitude blend (reference transformUpdate :171-203).
     """
     m = cfg.mapping
 
@@ -410,9 +411,12 @@ def step(state: MappingState, odom_pose: Array, corner_cloud: PointSet,
 
     # transformUpdate (reference :171-203): optional IMU attitude blend.
     if imu_rpy is not None:
+        rpy, imu_ok = imu_rpy
         blend = m.imu_blend
-        tobe = tobe.at[0].set((1.0 - blend) * tobe[0] + blend * imu_rpy[1])
-        tobe = tobe.at[2].set((1.0 - blend) * tobe[2] + blend * imu_rpy[0])
+        rx = (1.0 - blend) * tobe[0] + blend * rpy[1]
+        rz = (1.0 - blend) * tobe[2] + blend * rpy[0]
+        tobe = tobe.at[0].set(jnp.where(imu_ok, rx, tobe[0]))
+        tobe = tobe.at[2].set(jnp.where(imu_ok, rz, tobe[2]))
 
     # Scatter the downsized stacks into the map cubes.
     corner_map_pts = _map_point(tobe, corner_stack.xyz)

@@ -104,7 +104,8 @@ def relative_times(swapped: Array, mask: Array) -> Array:
 
 
 def ingest_sweep(raw: RawSweep, lidar: LidarConfig,
-                 reg: RegistrationConfig) -> Tuple[RingGrid, PointSet]:
+                 reg: RegistrationConfig,
+                 imu_window=None) -> Tuple[RingGrid, PointSet]:
     """Full device-side ingest: filter, bin, time, bucket.
 
     Returns the per-ring grid for feature extraction plus the flat
@@ -130,6 +131,14 @@ def ingest_sweep(raw: RawSweep, lidar: LidarConfig,
 
     rel = relative_times(swapped, raw.mask)
     rel = jnp.clip(rel, 0.0, 2.0)  # guard degenerate sweeps; nominal range [0,1]
+
+    if imu_window is not None:
+        # IMU deskew to the sweep-start frame before bucketing
+        # (reference projectPointToStartOfSweep during ingest,
+        # MultiScanRegistration.cpp:231).
+        from loam_velodyne_tpu.ops.imu import project_to_sweep_start
+        swapped = project_to_sweep_start(swapped, rel * reg.scan_period,
+                                         imu_window)
 
     # Stable sort by ring; invalid points sort to a sentinel ring at the end.
     ring_key = jnp.where(valid, ring, r_rings)
