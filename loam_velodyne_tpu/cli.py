@@ -1,0 +1,168 @@
+"""Command-line entry points.
+
+Equivalent of the reference's node executables + launch files
+(src/*_node.cpp, launch/loam_velodyne.launch): one `loam-tpu` command
+runs the whole pipeline over an input source with config overrides.
+
+    python -m loam_velodyne_tpu.cli run --source synthetic --sweeps 50
+    python -m loam_velodyne_tpu.cli run --source bag --path data.bag
+    python -m loam_velodyne_tpu.cli run --source pcap --path capture.pcap
+    python -m loam_velodyne_tpu.cli bench --sweeps 30
+    python -m loam_velodyne_tpu.cli info
+
+Parameter overrides use dotted dataclass paths, mirroring the reference
+launch-file params (launch/loam_velodyne.launch:7-8):
+
+    --set registration.scan_period=0.1 --set odometry.max_iterations=25
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import sys
+import time
+
+
+def _apply_overrides(cfg, overrides):
+    """Apply dotted-path overrides to the frozen config tree."""
+    for item in overrides or []:
+        path, _, raw = item.partition("=")
+        if not _:
+            raise SystemExit(f"--set expects key=value, got {item!r}")
+        keys = path.split(".")
+        targets = [cfg]
+        for k in keys[:-1]:
+            targets.append(getattr(targets[-1], k))
+        field_types = {f.name: f.type for f in dataclasses.fields(targets[-1])}
+        if keys[-1] not in field_types:
+            raise SystemExit(f"unknown config field {path!r}")
+        old = getattr(targets[-1], keys[-1])
+        value = type(old)(json.loads(raw)) if not isinstance(old, str) else raw
+        obj = dataclasses.replace(targets[-1], **{keys[-1]: value})
+        for parent, k in zip(reversed(targets[:-1]), reversed(keys[:-1])):
+            obj = dataclasses.replace(parent, **{k: obj})
+        cfg = obj
+    return cfg
+
+
+def _build_config(args):
+    from loam_velodyne_tpu.config import LoamConfig
+    cfg = LoamConfig.preset(args.lidar)
+    cfg = _apply_overrides(cfg, args.set)
+    return cfg
+
+
+def _load_sweeps(args, cfg):
+    if args.source == "synthetic":
+        from loam_velodyne_tpu.io import synthetic
+        sweeps, gt, times = synthetic.generate_sequence(
+            args.sweeps, lidar=cfg.lidar, n_azimuth=args.azimuth,
+            speed=args.speed)
+        return sweeps, gt, times
+    if args.source == "bag":
+        from loam_velodyne_tpu.io.rosbag import read_bag_sweeps
+        sweeps, times = read_bag_sweeps(args.path, topic=args.topic)
+        return sweeps, None, times
+    if args.source == "pcap":
+        from loam_velodyne_tpu.io.pcap import read_pcap_sweeps
+        sweeps, times = read_pcap_sweeps(args.path, cfg.lidar)
+        return sweeps, None, times
+    raise SystemExit(f"unknown source {args.source}")
+
+
+def cmd_run(args):
+    import numpy as np
+    cfg = _build_config(args)
+    sweeps, gt, times = _load_sweeps(args, cfg)
+
+    from loam_velodyne_tpu.io.driver import LoamDriver
+    drv = LoamDriver(cfg, system_delay=args.system_delay)
+    t0 = time.perf_counter()
+    for i, pts in enumerate(sweeps):
+        outs = drv.process_sweep(pts)
+        if outs is not None and args.verbose:
+            pose = np.asarray(outs.fused_pose)
+            print(f"sweep {i}: pos=({pose[3]:+.3f}, {pose[4]:+.3f}, "
+                  f"{pose[5]:+.3f})", file=sys.stderr)
+    wall = time.perf_counter() - t0
+
+    est = drv.positions()
+    report = {"sweeps": len(est), "wall_s": round(wall, 3),
+              "sweeps_per_sec": round(len(est) / max(wall, 1e-9), 2)}
+    if gt is not None and len(est):
+        from loam_velodyne_tpu.eval.metrics import ate_rmse, rpe_rmse
+        k = min(len(est), len(gt))
+        report["ate_m"] = round(ate_rmse(est[:k], gt[:k], align=True), 4)
+        report["rpe_m"] = round(rpe_rmse(est[:k], gt[:k]), 4)
+    if args.out_traj:
+        drv.export_tum(args.out_traj)
+        report["trajectory"] = args.out_traj
+    if args.out_map:
+        import jax
+        from loam_velodyne_tpu.models.mapping import surround_map
+        from loam_velodyne_tpu.io.pcd import write_pcd
+        smap = jax.jit(lambda s: surround_map(s, cfg))(drv.state.mapping)
+        write_pcd(args.out_map, np.asarray(smap.xyz)[np.asarray(smap.mask)])
+        report["map"] = args.out_map
+    if args.checkpoint:
+        drv.save_checkpoint(args.checkpoint)
+        report["checkpoint"] = args.checkpoint
+    print(json.dumps(report))
+
+
+def cmd_bench(args):
+    import subprocess
+    sys.exit(subprocess.call([sys.executable, "bench.py",
+                              str(args.sweeps)]))
+
+
+def cmd_info(args):
+    import jax
+    from loam_velodyne_tpu import __version__
+    from loam_velodyne_tpu.config import LIDAR_PRESETS
+    print(json.dumps({
+        "version": __version__,
+        "devices": [str(d) for d in jax.devices()],
+        "backend": jax.default_backend(),
+        "lidar_presets": sorted(LIDAR_PRESETS),
+    }, indent=2))
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="loam-tpu",
+                                description="TPU-native LOAM pipeline")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    runp = sub.add_parser("run", help="run the pipeline over a sweep source")
+    runp.add_argument("--source", choices=["synthetic", "bag", "pcap"],
+                      default="synthetic")
+    runp.add_argument("--path", help="input file for bag/pcap sources")
+    runp.add_argument("--topic", default="/velodyne_points")
+    runp.add_argument("--lidar", default="VLP-16")
+    runp.add_argument("--sweeps", type=int, default=20)
+    runp.add_argument("--azimuth", type=int, default=900)
+    runp.add_argument("--speed", type=float, default=1.0)
+    runp.add_argument("--system-delay", type=int, default=0)
+    runp.add_argument("--set", action="append", metavar="KEY=VALUE",
+                      help="config override, e.g. odometry.max_iterations=10")
+    runp.add_argument("--out-traj", help="write TUM trajectory here")
+    runp.add_argument("--out-map", help="write surround map PCD here")
+    runp.add_argument("--checkpoint", help="save engine state here")
+    runp.add_argument("--verbose", action="store_true")
+    runp.set_defaults(fn=cmd_run)
+
+    benchp = sub.add_parser("bench", help="run the headline benchmark")
+    benchp.add_argument("--sweeps", type=int, default=30)
+    benchp.set_defaults(fn=cmd_bench)
+
+    infop = sub.add_parser("info", help="environment and presets")
+    infop.set_defaults(fn=cmd_info)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,113 @@
+"""I/O layer tests: PCD round trip, rosbag write->read (python + native
+cross-check), velodyne pcap decode (python + native cross-check)."""
+
+import numpy as np
+import pytest
+
+from loam_velodyne_tpu.io import pcap as pcap_io
+from loam_velodyne_tpu.io import rosbag as bag_io
+from loam_velodyne_tpu.io.pcd import read_pcd, write_pcd
+from loam_velodyne_tpu.io.native import load as load_native
+
+
+def test_pcd_roundtrip(tmp_path, rng):
+    xyz = rng.normal(size=(100, 3)).astype(np.float32)
+    inten = rng.uniform(0, 16, 100).astype(np.float32)
+    p = str(tmp_path / "cloud.pcd")
+    write_pcd(p, xyz, inten)
+    x2, i2 = read_pcd(p)
+    np.testing.assert_allclose(x2, xyz)
+    np.testing.assert_allclose(i2, inten)
+
+    p2 = str(tmp_path / "cloud_ascii.pcd")
+    write_pcd(p2, xyz, binary=False)
+    x3, i3 = read_pcd(p2)
+    np.testing.assert_allclose(x3, xyz, atol=1e-5)
+    assert i3 is None
+
+
+def _write_test_bag(path, rng):
+    clouds = [rng.normal(size=(50, 3)).astype(np.float32) for _ in range(3)]
+    with bag_io.BagWriter(path) as w:
+        t = 100.0
+        for k, c in enumerate(clouds):
+            w.write_imu("/imu/data", t + 0.05 * k, (0, 0, 0, 1),
+                        (0.1, 0.2, 9.8))
+            w.write_cloud("/velodyne_points", t + 0.1 * k, c)
+    return clouds
+
+
+def test_bag_roundtrip_python(tmp_path, rng):
+    p = str(tmp_path / "test.bag")
+    clouds = _write_test_bag(p, rng)
+    msgs = list(bag_io.read_messages(p, native=False))
+    got_clouds = [m for m in msgs if m[0] == "cloud"]
+    got_imu = [m for m in msgs if m[0] == "imu"]
+    assert len(got_clouds) == 3 and len(got_imu) == 3
+    for (kind, stamp, xyz), exp in zip(got_clouds, clouds):
+        np.testing.assert_allclose(xyz, exp)
+    kind, stamp, vals = got_imu[0]
+    np.testing.assert_allclose(vals[:4], [0, 0, 0, 1])
+    np.testing.assert_allclose(vals[4:7], [0.1, 0.2, 9.8])
+    assert abs(stamp - 100.0) < 1e-6
+
+
+def test_bag_native_matches_python(tmp_path, rng):
+    if load_native() is None:
+        pytest.skip("native toolchain unavailable")
+    p = str(tmp_path / "test.bag")
+    _write_test_bag(p, rng)
+    py = list(bag_io.read_messages(p, native=False))
+    nat = list(bag_io.read_messages(p, native=True))
+    assert len(py) == len(nat)
+    for a, b in zip(py, nat):
+        assert a[0] == b[0]
+        assert abs(a[1] - b[1]) < 1e-6
+        np.testing.assert_allclose(a[2], b[2], atol=1e-6)
+
+
+def test_bag_sweeps_api(tmp_path, rng):
+    p = str(tmp_path / "test.bag")
+    clouds = _write_test_bag(p, rng)
+    sweeps, times = bag_io.read_bag_sweeps(p, native=False)
+    assert len(sweeps) == 3
+    assert times[1] - times[0] == pytest.approx(0.1)
+
+
+def _make_test_pcap(path):
+    # 3 sweeps of 24 blocks each: azimuth advances 15 deg per block
+    packets = []
+    az = 0.0
+    rng = np.random.default_rng(3)
+    for _ in range(6):   # 6 packets x 12 blocks x 15 deg = 1080 deg = 3 revs
+        azs = [(az + 15.0 * b) % 360.0 for b in range(12)]
+        ranges = rng.uniform(2.0, 50.0, (12, 32))
+        ranges[rng.random((12, 32)) < 0.1] = 0.0
+        packets.append(pcap_io.make_vlp16_packet(azs, ranges))
+        az = (az + 15.0 * 12) % 360.0
+    pcap_io.write_pcap(path, packets)
+
+
+def test_pcap_python_decode(tmp_path):
+    p = str(tmp_path / "cap.pcap")
+    _make_test_pcap(p)
+    sweeps, times = pcap_io.read_pcap_sweeps(p, None, native=False)
+    assert len(sweeps) == 3
+    for s in sweeps:
+        assert s.shape[1] == 3
+        r = np.linalg.norm(s, axis=1)
+        assert (r > 1.0).all() and (r < 51.0).all()
+        assert len(s) > 400
+
+
+def test_pcap_native_matches_python(tmp_path):
+    if load_native() is None:
+        pytest.skip("native toolchain unavailable")
+    p = str(tmp_path / "cap.pcap")
+    _make_test_pcap(p)
+    py_sweeps, _ = pcap_io.read_pcap_sweeps(p, None, native=False)
+    nat_sweeps, _ = pcap_io.read_pcap_sweeps(p, None, native=True)
+    assert len(py_sweeps) == len(nat_sweeps)
+    for a, b in zip(py_sweeps, nat_sweeps):
+        assert len(a) == len(b)
+        np.testing.assert_allclose(a, b, atol=1e-4)
