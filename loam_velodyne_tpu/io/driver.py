@@ -88,6 +88,40 @@ class LoamDriver:
             self.process_sweep(pts)
         return self.positions()
 
+    def run_chunked(self, sweeps: List[np.ndarray], chunk: int = 8
+                    ) -> np.ndarray:
+        """Throughput mode: batch K sweeps per device call (lax.scan on
+        device), amortizing dispatch latency. Startup delay must be
+        drained by the caller (system_delay=0) or beforehand."""
+        if self._delay_left > 0:
+            raise RuntimeError("drain system_delay before run_chunked")
+        if not hasattr(self, "_chunk_step"):
+            self._chunk_step = {}
+        for start in range(0, len(sweeps), chunk):
+            batch = sweeps[start:start + chunk]
+            k = len(batch)
+            if k not in self._chunk_step:
+                self._chunk_step[k] = jax.jit(
+                    lambda state, raws: engine_mod.run_chunk(
+                        state, raws, self.cfg))
+            xyz = np.zeros((k, self.sweep_capacity, 3), np.float32)
+            mask = np.zeros((k, self.sweep_capacity), bool)
+            for i, pts in enumerate(batch):
+                n = min(len(pts), self.sweep_capacity)
+                xyz[i, :n] = pts[:n]
+                mask[i, :n] = True
+            raws = RawSweep(xyz=jnp.asarray(xyz), mask=jnp.asarray(mask))
+            t0 = time.perf_counter()
+            self.state, outs = self._chunk_step[k](self.state, raws)
+            fused = np.asarray(outs.fused_pose)
+            self.step_times.append((time.perf_counter() - t0) / k)
+            for i in range(k):
+                self.trajectory.append(fused[i])
+                self.odom_trajectory.append(np.asarray(outs.odom_pose)[i])
+                self.mapped_trajectory.append(
+                    np.asarray(outs.mapped_pose)[i])
+        return self.positions()
+
     def positions(self) -> np.ndarray:
         if not self.trajectory:
             return np.zeros((0, 3))

@@ -111,6 +111,23 @@ def step(state: EngineState, raw: scan_mod.RawSweep, cfg: LoamConfig,
     return new_state, outs
 
 
+def run_chunk(state: EngineState, raws: scan_mod.RawSweep, cfg: LoamConfig
+              ) -> Tuple[EngineState, EngineOutputs]:
+    """Process K sweeps in one device call via lax.scan.
+
+    raws: RawSweep with leading time axis (K, N, 3)/(K, N). Amortizes
+    host->device dispatch over K sweeps — the throughput mode for
+    offline replay (the per-sweep mode exists for live/latency use).
+    Returns stacked outputs with leading axis K.
+    """
+
+    def body(carry, raw):
+        new_state, outs = step(carry, raw, cfg)
+        return new_state, outs
+
+    return jax.lax.scan(body, state, raws)
+
+
 def registered_cloud(state: EngineState, raw: scan_mod.RawSweep,
                      cfg: LoamConfig) -> PointSet:
     """Full-resolution sweep registered into the map frame
