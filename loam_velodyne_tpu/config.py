@@ -141,7 +141,7 @@ class MappingConfig:
     corner_stack_capacity: int = 2048
     surf_stack_capacity: int = 4096
     # Candidate window for the axis-sorted 5-NN search (ops/neighbors.py).
-    knn_window: int = 1024
+    knn_window: int = 512
 
     @property
     def n_cubes(self) -> int:

@@ -37,11 +37,15 @@ class LoamDriver:
                              if system_delay is None else system_delay)
         self._delay_left = self.system_delay
         self.state = engine_mod.EngineState.create(self.cfg)
+        # donate the state: without it XLA must preserve the input cube
+        # map (~60 MB) across the call, copying it every sweep
         self._step = jax.jit(
-            lambda state, raw: engine_mod.step(state, raw, self.cfg))
+            lambda state, raw: engine_mod.step(state, raw, self.cfg),
+            donate_argnums=(0,))
         self._step_imu = jax.jit(
             lambda state, raw, win: engine_mod.step(state, raw, self.cfg,
-                                                    win))
+                                                    win),
+            donate_argnums=(0,))
         self.imu_tracker = None   # optional io.imu.ImuTracker
         self.trajectory: List[np.ndarray] = []        # fused poses (6,)
         self.odom_trajectory: List[np.ndarray] = []
@@ -103,7 +107,8 @@ class LoamDriver:
             if k not in self._chunk_step:
                 self._chunk_step[k] = jax.jit(
                     lambda state, raws: engine_mod.run_chunk(
-                        state, raws, self.cfg))
+                        state, raws, self.cfg),
+                    donate_argnums=(0,))
             xyz = np.zeros((k, self.sweep_capacity, 3), np.float32)
             mask = np.zeros((k, self.sweep_capacity), bool)
             for i, pts in enumerate(batch):

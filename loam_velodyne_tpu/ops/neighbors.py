@@ -156,5 +156,8 @@ def windowed_knn(query_xyz: Array, query_mask: Array, ref: SortedCloud,
     d2 = jnp.sum((cand - query_xyz[:, None, :]) ** 2, axis=-1)
     d2 = jnp.where(ref.mask[cols], d2, jnp.inf)
     d2 = jnp.where(query_mask[:, None], d2, jnp.inf)
-    neg_top, widx = jax.lax.top_k(-d2, k)
-    return jnp.take_along_axis(cols, widx, axis=1), -neg_top
+    # approx_min_k rides the TPU's hardware top-k unit (~10x faster
+    # than a sort-based exact top_k at W~10^3; exact fallback on CPU);
+    # recall loss at k=5, W>=256 is negligible next to the 1 m gate.
+    top, widx = jax.lax.approx_min_k(d2, k)
+    return jnp.take_along_axis(cols, widx, axis=1), top

@@ -33,18 +33,26 @@ def stack_states(states) -> engine_mod.EngineState:
     return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *states)
 
 
-def make_batched_step(cfg: LoamConfig, mesh: Mesh, axis: str = "data"):
-    """jit-compiled batched engine step sharded over ``axis`` of ``mesh``.
+def make_batched_step(cfg: LoamConfig, mesh: Mesh | None = None,
+                      axis: str = "data", donate: bool = True):
+    """jit-compiled batched engine step, optionally sharded over
+    ``axis`` of ``mesh``.
 
     Inputs: batched EngineState (leaves with leading dim B) and a
-    batched RawSweep (B, N, 3)/(B, N); B must be divisible by the mesh
-    axis size. Returns (new_states, outputs), same sharding.
+    batched RawSweep (B, N, 3)/(B, N); with a mesh, B must be divisible
+    by the axis size. Without a mesh this is the single-chip throughput
+    mode: B independent replicas as one wide vmapped program (hides the
+    per-stage sequential latency that bounds single-stream rate).
     """
 
     def step_one(state, raw):
         return engine_mod.step(state, raw, cfg)
 
     batched = jax.vmap(step_one)
+    dn = (0,) if donate else ()
+    if mesh is None:
+        return jax.jit(batched, donate_argnums=dn)
+
     shard = NamedSharding(mesh, P(axis))
 
     def apply(states, raws):
@@ -52,7 +60,7 @@ def make_batched_step(cfg: LoamConfig, mesh: Mesh, axis: str = "data"):
         raws = jax.lax.with_sharding_constraint(raws, shard)
         return batched(states, raws)
 
-    return jax.jit(apply, out_shardings=(shard, shard))
+    return jax.jit(apply, out_shardings=(shard, shard), donate_argnums=dn)
 
 
 def replay_sequences(cfg: LoamConfig, sequences, mesh: Mesh,
