@@ -24,6 +24,11 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _require(cond: bool, msg: str) -> None:
+    if not cond:
+        raise ValueError(f"invalid configuration: {msg}")
+
+
 @dataclasses.dataclass(frozen=True)
 class LidarConfig:
     """Vertical ring geometry of a multi-ring spinning lidar.
@@ -73,6 +78,25 @@ class RegistrationConfig:
     corner_scan_cap: int = 96
     flat_scan_cap: int = 64
     min_sq_range: float = 1e-4        # zero-point filter (MultiScanRegistration.cpp:194)
+
+    def __post_init__(self):
+        # Fail-fast range validation, mirroring the reference's setup()
+        # parameter checks (ScanRegistration.cpp:43-141).
+        _require(self.scan_period > 0, "scan_period must be positive")
+        _require(self.imu_history_size >= 1, "imu_history_size must be >= 1")
+        _require(self.n_feature_regions >= 1,
+                 "n_feature_regions must be >= 1")
+        _require(self.curvature_region >= 1, "curvature_region must be >= 1")
+        _require(self.max_corner_sharp >= 1, "max_corner_sharp must be >= 1")
+        _require(self.max_surface_flat >= 1, "max_surface_flat must be >= 1")
+        _require(self.less_flat_filter_size > 0,
+                 "less_flat_filter_size must be positive")
+        _require(self.surface_curvature_threshold > 0,
+                 "surface_curvature_threshold must be positive")
+        _require(self.corner_scan_cap >= self.max_corner_less_sharp,
+                 "corner_scan_cap must cover the less-sharp quota")
+        _require(self.flat_scan_cap >= self.max_surface_flat,
+                 "flat_scan_cap must cover the flat quota")
 
     @property
     def max_corner_less_sharp(self) -> int:
@@ -142,6 +166,20 @@ class MappingConfig:
     surf_stack_capacity: int = 4096
     # Candidate window for the axis-sorted 5-NN search (ops/neighbors.py).
     knn_window: int = 512
+
+    def __post_init__(self):
+        _require(self.max_iterations >= 1, "max_iterations must be >= 1")
+        _require(self.cube_size > 0, "cube_size must be positive")
+        for name in ("grid_width", "grid_height", "grid_depth"):
+            dim = getattr(self, name)
+            _require(dim >= 2 * self.neighborhood + 1,
+                     f"{name} must be >= the search neighborhood"
+                     f" ({2 * self.neighborhood + 1})")
+            _require(dim > 2 * self.recenter_margin,
+                     f"{name} must exceed 2*recenter_margin")
+        _require(self.corner_leaf > 0 and self.surf_leaf > 0,
+                 "voxel leaf sizes must be positive")
+        _require(self.knn_window >= 8, "knn_window must be >= 8")
 
     @property
     def n_cubes(self) -> int:

@@ -132,6 +132,26 @@ class LoamDriver:
             return np.zeros((0, 3))
         return np.stack(self.trajectory)[:, 3:]
 
+    def run_bag(self, path: str, cloud_topic: str = "/velodyne_points",
+                imu_topic: str = "/imu/data", native: bool = True
+                ) -> np.ndarray:
+        """Replay a rosbag end-to-end (clouds + IMU), the equivalent of
+        the reference's full 4-node launch over `rosbag play`
+        (tests/loam.test.in:4-13). Message-order replay; the reference's
+        5 ms sync gating is inherent here because each sweep runs
+        through all stages in one program."""
+        from loam_velodyne_tpu.io.imu import ImuTracker
+        from loam_velodyne_tpu.io.rosbag import read_messages
+        self.imu_tracker = ImuTracker(self.cfg.registration.imu_history_size)
+        for kind, stamp, payload in read_messages(
+                path, cloud_topic=cloud_topic, imu_topic=imu_topic,
+                native=native):
+            if kind == "imu":
+                self.imu_tracker.push_raw(stamp, payload[:4], payload[4:7])
+            else:
+                self.process_sweep(payload, stamp)
+        return self.positions()
+
     # ------------------------------------------------------------------
     # Checkpoint / resume (SURVEY.md §5: the reference loses the map on
     # crash; here the engine is restartable mid-bag).

@@ -1,0 +1,49 @@
+"""Config validation tests (reference setup() parameter checks,
+ScanRegistration.cpp:43-141, LaserOdometry.cpp:64-138)."""
+
+import dataclasses
+
+import pytest
+
+from loam_velodyne_tpu.config import (LoamConfig, MappingConfig,
+                                      RegistrationConfig)
+
+
+def test_defaults_valid():
+    for name in ("VLP-16", "HDL-32", "HDL-64E"):
+        cfg = LoamConfig.preset(name)
+        assert cfg.capacities.sharp > 0
+
+
+@pytest.mark.parametrize("field,value", [
+    ("scan_period", 0.0),
+    ("n_feature_regions", 0),
+    ("curvature_region", 0),
+    ("max_corner_sharp", 0),
+    ("less_flat_filter_size", -0.1),
+    ("corner_scan_cap", 5),
+])
+def test_registration_validation(field, value):
+    with pytest.raises(ValueError, match="invalid configuration"):
+        dataclasses.replace(RegistrationConfig(), **{field: value})
+
+
+@pytest.mark.parametrize("field,value", [
+    ("max_iterations", 0),
+    ("cube_size", 0.0),
+    ("grid_width", 4),        # < 2*neighborhood+1
+    ("grid_height", 6),       # <= 2*recenter_margin
+    ("corner_leaf", 0.0),
+    ("knn_window", 4),
+])
+def test_mapping_validation(field, value):
+    with pytest.raises(ValueError, match="invalid configuration"):
+        dataclasses.replace(MappingConfig(), **{field: value})
+
+
+def test_derived_quantities():
+    m = MappingConfig()
+    assert m.n_cubes == 21 * 11 * 21
+    assert m.n_neighborhood_cubes == 125
+    r = RegistrationConfig()
+    assert r.max_corner_less_sharp == 20
