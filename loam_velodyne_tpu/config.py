@@ -164,8 +164,10 @@ class MappingConfig:
     # Downsampled feature-stack capacities (inputs to the map GN).
     corner_stack_capacity: int = 2048
     surf_stack_capacity: int = 4096
-    # Candidate window for the axis-sorted 5-NN search (ops/neighbors.py).
-    knn_window: int = 512
+    # Candidate window + query-group size for the axis-sorted tiled
+    # 5-NN search (ops/neighbors.py::tiled_windowed_knn).
+    knn_window: int = 1024
+    knn_group: int = 128
 
     def __post_init__(self):
         _require(self.max_iterations >= 1, "max_iterations must be >= 1")

@@ -39,7 +39,7 @@ import jax.numpy as jnp
 
 from loam_velodyne_tpu.config import LoamConfig, MappingConfig
 from loam_velodyne_tpu.ops import fit
-from loam_velodyne_tpu.ops.neighbors import sort_cloud, windowed_knn
+from loam_velodyne_tpu.ops.neighbors import sort_cloud, tiled_windowed_knn
 from loam_velodyne_tpu.ops.voxel import voxel_downsample
 from loam_velodyne_tpu.types import PointSet
 from loam_velodyne_tpu.utils import math as lm
@@ -289,8 +289,10 @@ def optimize_pose(corner_stack: PointSet, surf_stack: PointSet,
     def body(c: _OptCarry) -> _OptCarry:
         # --- corners: point-to-line against 5-NN eigen line fits ---
         qc = _map_point(c.tf, corner_stack.xyz)
-        idx_c, d2_c = windowed_knn(qc, corner_stack.mask, corner_sorted,
-                                   k=5, window=m.knn_window)
+        idx_c, d2_c = tiled_windowed_knn(qc, corner_stack.mask,
+                                         corner_sorted, k=5,
+                                         window=m.knn_window,
+                                         group=m.knn_group)
         gate_c = d2_c[:, 4] < m.nn_sq_dist_gate
         nbrs_c = corner_sorted.xyz[idx_c]                       # (Q,5,3)
         centroid, direction, line_ok = fit.line_fit(nbrs_c)
@@ -303,8 +305,9 @@ def optimize_pose(corner_stack: PointSet, surf_stack: PointSet,
 
         # --- surfels: point-to-plane against 5-NN LSQ plane fits ---
         qs = _map_point(c.tf, surf_stack.xyz)
-        idx_s, d2_s = windowed_knn(qs, surf_stack.mask, surf_sorted,
-                                   k=5, window=m.knn_window)
+        idx_s, d2_s = tiled_windowed_knn(qs, surf_stack.mask, surf_sorted,
+                                         k=5, window=m.knn_window,
+                                         group=m.knn_group)
         gate_s = d2_s[:, 4] < m.nn_sq_dist_gate
         nbrs_s = surf_sorted.xyz[idx_s]
         normal, dplane, plane_ok = fit.plane_fit(nbrs_s, m.plane_max_residual)

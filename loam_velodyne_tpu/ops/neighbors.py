@@ -116,10 +116,18 @@ def knn_sq_dist(query_xyz: Array, query_mask: Array, ref_xyz: Array,
     return idx, -neg_top
 
 
-class SortedCloud(NamedTuple):
-    """A point cloud sorted along one spatial axis for windowed search."""
+_FAR_SENTINEL = 1e8
 
-    xyz: Array    # (M, 3) sorted by xyz[:, axis]; padding at the end
+
+class SortedCloud(NamedTuple):
+    """A point cloud sorted along one spatial axis for windowed search.
+
+    Padded points are moved to the far sentinel coordinate instead of
+    carrying a mask: their distance to any real query exceeds every
+    gate, which spares a (Q, W) boolean gather on the hot path.
+    """
+
+    xyz: Array    # (M, 3) sorted by xyz[:, axis]; sentinel rows last
     mask: Array   # (M,)
     keys: Array   # (M,) sort keys (= xyz[:, axis], +inf for padding)
     axis: int
@@ -128,7 +136,8 @@ class SortedCloud(NamedTuple):
 def sort_cloud(xyz: Array, mask: Array, axis: int = 2) -> SortedCloud:
     keys = jnp.where(mask, xyz[:, axis], jnp.inf)
     order = jnp.argsort(keys)
-    return SortedCloud(xyz=xyz[order], mask=mask[order], keys=keys[order],
+    xyz_s = jnp.where(mask[order][:, None], xyz[order], _FAR_SENTINEL)
+    return SortedCloud(xyz=xyz_s, mask=mask[order], keys=keys[order],
                        axis=axis)
 
 
@@ -154,10 +163,69 @@ def windowed_knn(query_xyz: Array, query_mask: Array, ref: SortedCloud,
     cols = start[:, None] + jnp.arange(window)[None, :]     # (Q, W)
     cand = ref.xyz[cols]                                    # (Q, W, 3)
     d2 = jnp.sum((cand - query_xyz[:, None, :]) ** 2, axis=-1)
-    d2 = jnp.where(ref.mask[cols], d2, jnp.inf)
     d2 = jnp.where(query_mask[:, None], d2, jnp.inf)
     # approx_min_k rides the TPU's hardware top-k unit (~10x faster
     # than a sort-based exact top_k at W~10^3; exact fallback on CPU);
     # recall loss at k=5, W>=256 is negligible next to the 1 m gate.
     top, widx = jax.lax.approx_min_k(d2, k)
     return jnp.take_along_axis(cols, widx, axis=1), top
+
+
+def tiled_windowed_knn(query_xyz: Array, query_mask: Array, ref: SortedCloud,
+                       k: int, window: int, group: int = 128
+                       ) -> tuple[Array, Array]:
+    """k-NN against an axis-sorted cloud, tiled for TPU gather economics.
+
+    ``windowed_knn`` issues one gathered row per (query, candidate) —
+    Q*W random row-gathers, which profile at ~3 GB/s effective on TPU
+    and dominated the whole mapping stage. Here queries are sorted
+    along the same axis and processed in groups of ``group`` neighbors
+    in sort order; each group reads ONE contiguous window of the
+    reference cloud via dynamic_slice (vmapped: a gather of G-sized
+    blocks instead of Q*W rows). The distance block (T, G, W) is dense
+    VPU work. Results are exact whenever each query's true k-NN lie
+    within the shared window (window must cover the group's key spread
+    + the acceptance radius; misses are filtered by the caller's gate).
+
+    Returns (indices into the sorted cloud (Q, k), sq_dists (Q, k)) in
+    the ORIGINAL query order.
+    """
+    q = query_xyz.shape[0]
+    m = ref.xyz.shape[0]
+    assert q % group == 0, (q, group)
+    t = q // group
+
+    # sort queries along the axis; padded queries to the end
+    qkeys = jnp.where(query_mask, query_xyz[:, ref.axis], jnp.inf)
+    order = jnp.argsort(qkeys)
+    q_sorted = query_xyz[order]
+    qmask_sorted = query_mask[order]
+    qkeys_sorted = qkeys[order]
+
+    # one window per group, centered on the group's median key
+    med = qkeys_sorted.reshape(t, group)[:, group // 2]
+    med = jnp.where(jnp.isfinite(med), med, 0.0)
+    pos = jnp.searchsorted(ref.keys, med)
+    start = jnp.clip(pos - window // 2, 0, jnp.maximum(m - window, 0))
+
+    windows = jax.vmap(
+        lambda s: jax.lax.dynamic_slice(ref.xyz, (s, 0), (window, 3))
+    )(start)                                               # (T, W, 3)
+
+    # difference form, not |q|^2 - 2qp + |p|^2: at map-frame coordinate
+    # scales (10^2 m) the expanded form's f32 cancellation error
+    # (~1e-2 m^2) would swamp sub-decimeter neighbor discrimination
+    qg = q_sorted.reshape(t, group, 3)
+    d2 = jnp.zeros((t, group, window), jnp.float32)
+    for c in range(3):
+        diff = qg[:, :, None, c] - windows[:, None, :, c]
+        d2 = d2 + diff * diff
+    d2 = jnp.where(qmask_sorted.reshape(t, group)[:, :, None], d2, jnp.inf)
+
+    top, widx = jax.lax.approx_min_k(d2.reshape(q, window), k)
+    starts_per_q = jnp.repeat(start, group)
+    idx_sorted = starts_per_q[:, None] + widx
+
+    # unsort back to the original query order
+    inv = jnp.argsort(order)
+    return idx_sorted[inv], top[inv]

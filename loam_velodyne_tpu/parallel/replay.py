@@ -106,7 +106,8 @@ def tiny_config() -> LoamConfig:
         recenter_margin=1, neighborhood=1,
         corner_cube_capacity=32, surf_cube_capacity=64,
         corner_stack_capacity=64, surf_stack_capacity=128,
-        knn_window=64, min_surface_map_points=10, min_selected=10)
+        knn_window=64, knn_group=32,
+        min_surface_map_points=10, min_selected=10)
     odo = OdometryConfig(max_iterations=3, min_surface_points=10)
     return LoamConfig(lidar=lidar, registration=reg, odometry=odo,
                       mapping=mapping)

@@ -114,6 +114,34 @@ def test_windowed_knn_matches_bruteforce(rng):
     assert close > 0.9, close
 
 
+def test_tiled_windowed_knn_matches_bruteforce(rng):
+    ref_pts = rng.uniform(-5, 5, (2048, 3)).astype(np.float32)
+    ref_mask = np.ones(2048, bool)
+    ref_mask[1800:] = False
+    q = rng.uniform(-4, 4, (256, 3)).astype(np.float32)
+    qmask = np.ones(256, bool)
+    qmask[250:] = False
+
+    sc = neighbors.sort_cloud(jnp.asarray(ref_pts), jnp.asarray(ref_mask))
+    idx_t, d2_t = neighbors.tiled_windowed_knn(
+        jnp.asarray(q), jnp.asarray(qmask), sc, k=5, window=2048, group=64)
+    idx_b, d2_b = neighbors.knn_sq_dist(jnp.asarray(q), jnp.asarray(qmask),
+                                        sc.xyz, sc.mask, k=5)
+    # full-size window => exact distances, original query order
+    np.testing.assert_allclose(np.sort(np.asarray(d2_t)[:250], axis=1),
+                               np.sort(np.asarray(d2_b)[:250], axis=1),
+                               rtol=1e-4)
+    # padded queries return inf
+    assert np.isinf(np.asarray(d2_t)[250:]).all()
+
+    # realistic window still finds the true 5-NN for nearly all queries
+    idx_s, d2_s = neighbors.tiled_windowed_knn(
+        jnp.asarray(q), jnp.asarray(qmask), sc, k=5, window=512, group=64)
+    close = np.isclose(np.asarray(d2_s)[:250, 4],
+                       np.asarray(d2_b)[:250, 4], rtol=1e-3).mean()
+    assert close > 0.85, close
+
+
 @pytest.mark.slow
 def test_full_pipeline_mapping_improves_odometry():
     cfg = CFG
