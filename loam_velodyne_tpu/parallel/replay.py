@@ -92,6 +92,19 @@ def replay_sequences(cfg: LoamConfig, sequences, mesh: Mesh,
     return out_positions
 
 
+def make_batched_chunk(cfg: LoamConfig, donate: bool = True):
+    """jit of B sequences x K sweeps per device call: vmap over the
+    batch of the on-device lax.scan over sweeps (engine_mod.run_chunk).
+    Maximum-throughput single-chip replay: one dispatch per B*K sweeps.
+    """
+
+    def chunk_one(state, raws):
+        return engine_mod.run_chunk(state, raws, cfg)
+
+    return jax.jit(jax.vmap(chunk_one),
+                   donate_argnums=(0,) if donate else ())
+
+
 def tiny_config() -> LoamConfig:
     """A miniature config for multi-chip dry runs and CI: same code
     paths, toy shapes."""
