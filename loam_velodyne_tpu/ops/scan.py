@@ -140,39 +140,49 @@ def ingest_sweep(raw: RawSweep, lidar: LidarConfig,
         swapped = project_to_sweep_start(swapped, rel * reg.scan_period,
                                          imu_window)
 
-    # Stable sort by ring; invalid points sort to a sentinel ring at the end.
+    # Bucket by ring WITHOUT a sort: the reference's push_back order is
+    # (ring, arrival); the rank of a point within its ring is a counting
+    # prefix sum over a (N, R+1) ring one-hot — O(N*R) streaming work
+    # instead of an O(N log^2 N) bitonic sort, and the azimuth order is
+    # preserved exactly like the stable sort was.
     ring_key = jnp.where(valid, ring, r_rings)
-    order = jnp.argsort(ring_key, stable=True)
-    ring_s = ring_key[order]
-    xyz_s = swapped[order]
-    rel_s = rel[order]
-    valid_s = valid[order]
-
-    # Rank within ring = global sorted position - ring start offset.
-    counts = jnp.zeros((r_rings + 1,), jnp.int32).at[ring_s].add(1)
+    onehot = (ring_key[:, None] ==
+              jnp.arange(r_rings + 1, dtype=jnp.int32)[None, :])
+    cs = jnp.cumsum(onehot.astype(jnp.int32), axis=0)       # (N, R+1)
+    rank = jnp.take_along_axis(cs, ring_key[:, None], axis=1)[:, 0] - 1
+    counts = cs[-1]                                          # (R+1,)
     starts = jnp.concatenate([jnp.zeros((1,), jnp.int32),
-                              jnp.cumsum(counts)[:-1].astype(jnp.int32)])
-    pos = jnp.arange(n, dtype=jnp.int32)
-    rank = pos - starts[jnp.clip(ring_s, 0, r_rings)]
+                              jnp.cumsum(counts[:-1]).astype(jnp.int32)])
 
-    keep = valid_s & (rank < p_cap)
+    keep = valid & (rank < p_cap)
     # Scatter into the (R, P) grid through a flat index; dropped/invalid
-    # points all land in a trash row beyond the grid.
-    flat_idx = jnp.where(keep, ring_s * p_cap + rank, r_rings * p_cap)
-    grid_xyz = (jnp.zeros((r_rings * p_cap + 1, 3), jnp.float32)
-                .at[flat_idx].set(jnp.where(keep[:, None], xyz_s, 0.0),
-                                  mode="drop")[:-1]
+    # points all land out of range and are dropped by the scatter.
+    flat_idx = jnp.where(keep, ring_key * p_cap + rank, r_rings * p_cap)
+    grid_xyz = (jnp.zeros((r_rings * p_cap, 3), jnp.float32)
+                .at[flat_idx].set(jnp.where(keep[:, None], swapped, 0.0),
+                                  mode="drop")
                 .reshape(r_rings, p_cap, 3))
-    grid_rel = (jnp.zeros((r_rings * p_cap + 1,), jnp.float32)
-                .at[flat_idx].set(jnp.where(keep, rel_s, 0.0), mode="drop")[:-1]
+    grid_rel = (jnp.zeros((r_rings * p_cap,), jnp.float32)
+                .at[flat_idx].set(jnp.where(keep, rel, 0.0), mode="drop")
                 .reshape(r_rings, p_cap))
-    grid_mask = (jnp.zeros((r_rings * p_cap + 1,), bool)
-                 .at[flat_idx].set(keep, mode="drop")[:-1]
+    grid_mask = (jnp.zeros((r_rings * p_cap,), bool)
+                 .at[flat_idx].set(keep, mode="drop")
                  .reshape(r_rings, p_cap))
     grid_count = jnp.minimum(counts[:r_rings], p_cap)
 
-    grid = RingGrid(xyz=grid_xyz, rel=grid_rel, mask=grid_mask, count=grid_count)
-    full = PointSet(xyz=xyz_s, rel=rel_s,
-                    ring=jnp.where(valid_s, ring_s, 0).astype(jnp.int32),
-                    mask=keep)
+    # Flat ring-major full-resolution cloud (the reference's
+    # concatenated _laserCloud layout) via the same rank scatter.
+    dest = jnp.where(valid, starts[jnp.clip(ring_key, 0, r_rings)] + rank, n)
+    full_xyz = jnp.zeros((n, 3), jnp.float32).at[dest].set(
+        jnp.where(valid[:, None], swapped, 0.0), mode="drop")
+    full_rel = jnp.zeros((n,), jnp.float32).at[dest].set(
+        jnp.where(valid, rel, 0.0), mode="drop")
+    full_ring = jnp.zeros((n,), jnp.int32).at[dest].set(
+        jnp.where(valid, ring_key, 0), mode="drop")
+    full_mask = jnp.zeros((n,), bool).at[dest].set(keep, mode="drop")
+
+    grid = RingGrid(xyz=grid_xyz, rel=grid_rel, mask=grid_mask,
+                    count=grid_count)
+    full = PointSet(xyz=full_xyz, rel=full_rel, ring=full_ring,
+                    mask=full_mask)
     return grid, full

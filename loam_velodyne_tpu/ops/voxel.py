@@ -28,11 +28,23 @@ Array = jax.Array
 
 def _compact(values: Array, keep: Array, capacity: int):
     """Front-pack rows of ``values`` where ``keep`` is True, into a fixed
-    capacity. Returns (packed_values, packed_mask). Stable order."""
+    capacity. Returns (packed_values, packed_mask). Stable order.
+
+    Implemented as prefix-sum + scatter (O(N)) rather than a stable
+    sort (O(N log^2 N) bitonic passes on TPU) — compaction happens on
+    every feature cloud every sweep, and the sorts were visible in
+    profiles."""
     n = keep.shape[0]
-    order = jnp.argsort(~keep, stable=True)
-    packed = jax.tree_util.tree_map(lambda v: v[order][:capacity], values)
-    kept = keep[order][:capacity]
+    pos = jnp.cumsum(keep.astype(jnp.int32)) - 1
+    dest = jnp.where(keep, pos, n)        # out-of-range rows are dropped
+
+    def scat(v):
+        out = jnp.zeros((capacity,) + v.shape[1:], v.dtype)
+        return out.at[dest].set(v, mode="drop")
+
+    packed = jax.tree_util.tree_map(scat, values)
+    count = jnp.minimum(jnp.sum(keep.astype(jnp.int32)), capacity)
+    kept = jnp.arange(capacity) < count
     return packed, kept
 
 
@@ -58,10 +70,18 @@ def voxel_downsample(ps: PointSet, leaf: float, capacity: int,
 
     ring_key = jnp.where(mask, ps.ring, -1) if per_ring else jnp.zeros_like(ps.ring)
 
-    # Lexicographic sort; invalid points (cell=-1) group together at the
-    # front and are masked out of the output.
-    order = jnp.lexsort((cell[:, 2], cell[:, 1], cell[:, 0], ring_key,
-                         (~mask).astype(jnp.int32)))
+    # Lexicographic sort with two packed keys instead of five separate
+    # ones (each lexsort key is its own bitonic pass on TPU). Cells are
+    # clipped into 10-bit per-axis ranges relative to the min corner —
+    # beyond 1023 cells (~200-400 m extents at 0.2-0.4 m leaves) points
+    # would merge, far outside lidar range.
+    cy = jnp.clip(cell[:, 1], -1, 1023)
+    cz = jnp.clip(cell[:, 2], -1, 1023)
+    cx = jnp.clip(cell[:, 0], -1, 1023)
+    key_lo = (cy + 1) * 1025 + (cz + 1)
+    key_hi = ((~mask).astype(jnp.int32) * (1 << 25)
+              + (ring_key + 1) * (1 << 11) + (cx + 1))
+    order = jnp.lexsort((key_lo, key_hi))
     cell_s = cell[order]
     ring_s = ring_key[order]
     mask_s = mask[order]
