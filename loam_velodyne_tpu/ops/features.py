@@ -270,11 +270,82 @@ def _ring_labels(xyz: Array, count: Array, reg: RegistrationConfig
     return labels, any_region
 
 
+def _all_labels_pallas(grid: RingGrid, reg: RegistrationConfig
+                       ) -> Tuple[Array, Array]:
+    """Batched (ring x region) greedy labeling through the Pallas kernel
+    (ops/pallas_greedy.py): the whole suppressed pick loop runs inside
+    one Mosaic program instead of ~160 XLA while-loop dispatches."""
+    from loam_velodyne_tpu.ops.pallas_greedy import greedy_pick_rows
+
+    r, p = grid.xyz.shape[:2]
+    j = reg.n_feature_regions
+    c = reg.curvature_region
+
+    curv, curv_valid = jax.vmap(
+        lambda x, n: ring_curvature(x, n, c))(grid.xyz, grid.count)
+    rejected = jax.vmap(
+        lambda x, n: ring_rejection_mask(x, n, c))(grid.xyz, grid.count)
+    left_ext, right_ext = jax.vmap(
+        lambda x, n: suppression_extents(x, n, c))(grid.xyz, grid.count)
+    sp, ep = jax.vmap(
+        lambda n: region_bounds(n, c, reg.n_feature_regions))(grid.count)
+    region_ok = ep > sp                                    # (R, J)
+
+    idx = jnp.arange(p)
+    in_region = ((idx[None, None, :] >= sp[:, :, None])
+                 & (idx[None, None, :] <= ep[:, :, None])
+                 & region_ok[:, :, None] & curv_valid[:, None, :])  # (R,J,P)
+
+    rows = r * j
+
+    def rep(a):  # (R, P) -> (R*J, P)
+        return jnp.broadcast_to(a[:, None, :], (r, j, a.shape[-1])
+                                ).reshape(rows, -1)
+
+    curv_r = rep(curv)
+    left_r = rep(left_ext)
+    right_r = rep(right_ext)
+    picked0 = rep(rejected)
+    in_region_r = in_region.reshape(rows, p)
+
+    def candidates(scores, cap):
+        top, cand = jax.lax.top_k(scores, cap)
+        ok = jnp.isfinite(top)
+        pad = (-cap) % 128
+        if pad:
+            cand = jnp.pad(cand, ((0, 0), (0, pad)))
+            ok = jnp.pad(ok, ((0, 0), (0, pad)))
+        return cand, ok
+
+    # corners
+    scores = jnp.where(in_region_r & ~picked0, curv_r, -jnp.inf)
+    cand, ok = candidates(scores, reg.corner_scan_cap)
+    corner_labels, corner_marks = greedy_pick_rows(
+        curv_r, cand, ok, picked0, left_r, right_r,
+        reg.surface_curvature_threshold, reg.max_corner_less_sharp,
+        reg.max_corner_sharp, True)
+    labels = jnp.max(corner_labels.reshape(r, j, p), axis=1)
+    picked1 = rejected | jnp.any(corner_marks.reshape(r, j, p), axis=1)
+
+    # flats
+    scores = jnp.where(in_region_r & ~rep(picked1), -curv_r, -jnp.inf)
+    cand, ok = candidates(scores, reg.flat_scan_cap)
+    flat_labels, _ = greedy_pick_rows(
+        curv_r, cand, ok, rep(picked1), left_r, right_r,
+        reg.surface_curvature_threshold, reg.max_surface_flat, 0, False)
+    labels = labels + jnp.min(flat_labels.reshape(r, j, p), axis=1)
+
+    return labels, jnp.any(in_region, axis=1)
+
+
 def extract_features(grid: RingGrid, reg: RegistrationConfig,
                      caps: Capacities) -> SweepFeatures:
     """Full-sweep feature extraction over the ring grid."""
-    labels, in_region = jax.vmap(lambda x, n: _ring_labels(x, n, reg))(
-        grid.xyz, grid.count)
+    if jax.default_backend() in ("tpu", "axon"):
+        labels, in_region = _all_labels_pallas(grid, reg)
+    else:
+        labels, in_region = jax.vmap(lambda x, n: _ring_labels(x, n, reg))(
+            grid.xyz, grid.count)
 
     r, p = labels.shape
     flat_xyz = grid.xyz.reshape(r * p, 3)
