@@ -30,11 +30,18 @@ class LoamDriver:
 
     def __init__(self, cfg: Optional[LoamConfig] = None,
                  sweep_capacity: int = 32768,
-                 system_delay: Optional[int] = None):
+                 system_delay: Optional[int] = None,
+                 checkpoint_path: Optional[str] = None,
+                 checkpoint_every: int = 0):
         self.cfg = cfg or LoamConfig.preset("VLP-16")
         self.sweep_capacity = sweep_capacity
         self.system_delay = (self.cfg.registration.system_delay
                              if system_delay is None else system_delay)
+        # Elastic restart (the reference's respawn="true" only relaunches
+        # a stateless node; here the full engine state checkpoints
+        # periodically and resume() continues mid-sequence).
+        self.checkpoint_path = checkpoint_path
+        self.checkpoint_every = checkpoint_every
         self._delay_left = self.system_delay
         self.state = engine_mod.EngineState.create(self.cfg)
         # donate the state: without it XLA must preserve the input cube
@@ -84,7 +91,19 @@ class LoamDriver:
         self.trajectory.append(fused)
         self.odom_trajectory.append(np.asarray(outs.odom_pose))
         self.mapped_trajectory.append(np.asarray(outs.mapped_pose))
+        if (self.checkpoint_path and self.checkpoint_every
+                and len(self.trajectory) % self.checkpoint_every == 0):
+            self.save_checkpoint(self.checkpoint_path)
         return outs
+
+    def resume(self) -> bool:
+        """Load the auto-checkpoint if one exists; returns True if the
+        engine state was restored."""
+        import os
+        if self.checkpoint_path and os.path.exists(self.checkpoint_path):
+            self.load_checkpoint(self.checkpoint_path)
+            return True
+        return False
 
     def run(self, sweeps: Iterable[np.ndarray]) -> np.ndarray:
         """Process a full sequence; returns fused positions (K, 3)."""

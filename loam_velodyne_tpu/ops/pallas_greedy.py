@@ -41,11 +41,17 @@ def _greedy_kernel(curv_ref, cand_idx_ref, cand_ok_ref, picked0_ref,
     curv = curv_ref[:]
     left = left_ref[:]
     right = right_ref[:]
+    cand_all = cand_idx_ref[:]                      # (rows, K)
+    ok_all = cand_ok_ref[:]
+    kcol = jax.lax.broadcasted_iota(jnp.int32, cand_all.shape, 1)
 
     def body(k, carry):
         picked, labels, n_picked = carry
-        idx = cand_idx_ref[:, k]                    # (rows,)
-        ok = cand_ok_ref[:, k]
+        # one-hot column select — Mosaic cannot do dynamic lane-dim
+        # loads (k is a loop-carried scalar)
+        sel_k = kcol == k
+        idx = jnp.sum(jnp.where(sel_k, cand_all, 0), axis=1)   # (rows,)
+        ok = jnp.sum(jnp.where(sel_k, ok_all, 0), axis=1)
         sel = col == idx[:, None]                   # (rows, p) one-hot
 
         c_i = jnp.sum(jnp.where(sel, curv, 0.0), axis=1)
