@@ -80,6 +80,32 @@ def test_checkpoint_resume_bitexact(tmp_path):
                                np.stack(drv_b.trajectory), atol=1e-6)
 
 
+@pytest.mark.slow
+def test_auto_checkpoint_and_resume(tmp_path):
+    """Crash-resume: a driver dies mid-sequence; a fresh driver resumes
+    from the auto-checkpoint and finishes with an identical trajectory
+    to an uninterrupted run."""
+    sweeps, _, _ = synthetic.generate_sequence(4, n_azimuth=600)
+    ckpt = str(tmp_path / "auto.npz")
+
+    ref = LoamDriver(CFG, system_delay=0)
+    for pts in sweeps:
+        ref.process_sweep(pts)
+
+    drv = LoamDriver(CFG, system_delay=0, checkpoint_path=ckpt,
+                     checkpoint_every=1)
+    for pts in sweeps[:2]:
+        drv.process_sweep(pts)
+    del drv   # "crash"
+
+    drv2 = LoamDriver(CFG, system_delay=0, checkpoint_path=ckpt)
+    assert drv2.resume()
+    for pts in sweeps[2:]:
+        drv2.process_sweep(pts)
+    np.testing.assert_allclose(np.stack(drv2.trajectory),
+                               np.stack(ref.trajectory[2:]), atol=1e-6)
+
+
 def test_system_delay_drops_sweeps():
     sweeps, _, _ = synthetic.generate_sequence(3, n_azimuth=240)
     drv = LoamDriver(CFG, system_delay=2)
