@@ -164,6 +164,10 @@ class MappingConfig:
     # Downsampled feature-stack capacities (inputs to the map GN).
     corner_stack_capacity: int = 2048
     surf_stack_capacity: int = 4096
+    # Active-cube budget: of the 125 neighborhood cubes, at most this
+    # many are assembled/downsampled per frame (FOV-valid cubes are
+    # typically ~30; exact whenever the count fits the budget).
+    max_active_cubes: int = 64
     # Candidate window + query-group size for the axis-sorted tiled
     # 5-NN search (ops/neighbors.py::tiled_windowed_knn).
     knn_window: int = 1024
@@ -218,7 +222,7 @@ class Capacities:
         flat = _round_up(r * n * reg.max_surface_flat, 128)
         less_flat = _round_up(min(r * 512, 8192), 128)
         full = _round_up(r * lidar.max_points_per_ring, 128)
-        ncubes = mapping.n_neighborhood_cubes
+        ncubes = min(mapping.n_neighborhood_cubes, mapping.max_active_cubes)
         return Capacities(
             sharp=sharp, less_sharp=less_sharp, flat=flat,
             less_flat=less_flat, full_cloud=full,

@@ -172,7 +172,9 @@ def fov_valid_cubes(origin: Array, tobe: Array, m: MappingConfig
 
 def assemble_map_cloud(cube_xyz: Array, cube_cnt: Array, sidx: Array,
                        valid: Array) -> Tuple[Array, Array]:
-    """Concatenate the slabs of the selected cubes into one padded cloud."""
+    """Concatenate the slabs of the selected cubes into one padded
+    cloud. Works for any selection length (the hot path selects at most
+    max_active_cubes of the 125 neighborhood)."""
     cap = cube_xyz.shape[1]
     xyz = cube_xyz[sidx]                       # (125, cap, 3)
     cnt = jnp.where(valid, cube_cnt[sidx], 0)  # (125,)
@@ -214,7 +216,7 @@ def scatter_into_cubes(cube_xyz: Array, cube_cnt: Array, pts: Array,
                .reshape(nc, cap, 3))
     added = jnp.zeros((nc + 1,), jnp.int32).at[sidx_s].add(keep.astype(jnp.int32))
     new_cnt = jnp.minimum(cube_cnt + added[:nc], cap)
-    return new_xyz, new_cnt
+    return new_xyz, new_cnt, added[:nc] > 0
 
 
 def downsample_cubes(cube_xyz: Array, cube_cnt: Array, sidx: Array,
@@ -245,6 +247,13 @@ def downsample_cubes(cube_xyz: Array, cube_cnt: Array, sidx: Array,
     new_xyz = cube_xyz.at[sidx_safe].set(ds_xyz, mode="drop")
     new_cnt = cube_cnt.at[sidx_safe].set(ds_cnt, mode="drop")
     return new_xyz, new_cnt
+
+
+def _select_active(flags: Array, k: int) -> Tuple[Array, Array]:
+    """Pick up to k set positions of a boolean vector; returns
+    (positions (k,), active (k,))."""
+    score, idx = jax.lax.top_k(flags.astype(jnp.int32), k)
+    return idx, score > 0
 
 
 def _map_point(tf: Array, pts: Array) -> Array:
@@ -404,12 +413,16 @@ def step(state: MappingState, odom_pose: Array, corner_cloud: PointSet,
     corner_cnt = jnp.where(clear, 0, state.corner_cnt)
     surf_cnt = jnp.where(clear, 0, state.surf_cnt)
 
-    # FOV-valid neighborhood cubes -> search clouds.
+    # FOV-valid neighborhood cubes -> search clouds. Only up to
+    # max_active_cubes of the 125 are materialized (typically ~30 are
+    # FOV-valid; exact whenever the count fits the budget).
     sidx, valid_fov, in_bounds = fov_valid_cubes(new_origin, tobe, m)
+    pos_a, act_a = _select_active(valid_fov, m.max_active_cubes)
+    sidx_a = sidx[pos_a]
     map_c_xyz, map_c_mask = assemble_map_cloud(state.corner_xyz, corner_cnt,
-                                               sidx, valid_fov)
+                                               sidx_a, act_a)
     map_s_xyz, map_s_mask = assemble_map_cloud(state.surf_xyz, surf_cnt,
-                                               sidx, valid_fov)
+                                               sidx_a, act_a)
 
     tobe = optimize_pose(corner_stack, surf_stack, map_c_xyz, map_c_mask,
                          map_s_xyz, map_s_mask, tobe, cfg)
@@ -426,18 +439,26 @@ def step(state: MappingState, odom_pose: Array, corner_cloud: PointSet,
     # Scatter the downsized stacks into the map cubes.
     corner_map_pts = _map_point(tobe, corner_stack.xyz)
     surf_map_pts = _map_point(tobe, surf_stack.xyz)
-    corner_xyz, corner_cnt = scatter_into_cubes(
+    corner_xyz, corner_cnt, recv_c = scatter_into_cubes(
         state.corner_xyz, corner_cnt, corner_map_pts, corner_stack.mask,
         new_origin, m)
-    surf_xyz, surf_cnt = scatter_into_cubes(
+    surf_xyz, surf_cnt, recv_s = scatter_into_cubes(
         state.surf_xyz, surf_cnt, surf_map_pts, surf_stack.mask,
         new_origin, m)
 
-    # Re-downsample the FOV-valid cubes in place.
-    corner_xyz, corner_cnt = downsample_cubes(corner_xyz, corner_cnt, sidx,
-                                              valid_fov, m.corner_leaf)
-    surf_xyz, surf_cnt = downsample_cubes(surf_xyz, surf_cnt, sidx,
-                                          valid_fov, m.surf_leaf)
+    # Re-downsample in place. The reference thins every FOV-valid cube
+    # (BasicLaserMapping.cpp:580-593); voxel thinning is idempotent, so
+    # restricting to cubes that actually RECEIVED points this frame is
+    # equivalent (a cube entering the FOV untouched stays slightly
+    # denser until its next insert — harmless and cheaper).
+    pos_c, act_c = _select_active(valid_fov & recv_c[sidx],
+                                  m.max_active_cubes)
+    corner_xyz, corner_cnt = downsample_cubes(
+        corner_xyz, corner_cnt, sidx[pos_c], act_c, m.corner_leaf)
+    pos_s, act_s = _select_active(valid_fov & recv_s[sidx],
+                                  m.max_active_cubes)
+    surf_xyz, surf_cnt = downsample_cubes(
+        surf_xyz, surf_cnt, sidx[pos_s], act_s, m.surf_leaf)
 
     new_state = MappingState(
         corner_xyz=corner_xyz, corner_cnt=corner_cnt,

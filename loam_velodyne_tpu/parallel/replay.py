@@ -112,7 +112,7 @@ def tiny_config() -> LoamConfig:
                                           MappingConfig, OdometryConfig,
                                           RegistrationConfig)
     lidar = LidarConfig("tiny", -15.0, 15.0, 4, max_points_per_ring=64)
-    reg = RegistrationConfig(corner_scan_cap=16, flat_scan_cap=16)
+    reg = RegistrationConfig(corner_scan_cap=32, flat_scan_cap=16)
     mapping = MappingConfig(
         grid_width=5, grid_height=3, grid_depth=5,
         center_width=2, center_height=1, center_depth=2,

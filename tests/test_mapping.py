@@ -57,9 +57,10 @@ def test_scatter_and_assemble_roundtrip(rng):
     pts = rng.uniform(-40, 40, (256, 3)).astype(np.float32)
     mask = np.ones(256, bool)
     mask[200:] = False
-    new_xyz, new_cnt = mapping.scatter_into_cubes(
+    new_xyz, new_cnt, recv = mapping.scatter_into_cubes(
         state.corner_xyz, state.corner_cnt, jnp.asarray(pts),
         jnp.asarray(mask), state.origin, M)
+    assert int(np.asarray(recv).sum()) > 0
     assert int(np.asarray(new_cnt).sum()) == 200
 
     # all stored points recoverable via the neighborhood assembly around
@@ -81,10 +82,10 @@ def test_scatter_respects_existing_and_capacity(rng):
     cap = M.corner_cube_capacity
     # overfill one cube: 2 rounds of cap points into the same cube
     pts = rng.uniform(-1, 1, (cap, 3)).astype(np.float32)
-    xyz1, cnt1 = mapping.scatter_into_cubes(
+    xyz1, cnt1, _ = mapping.scatter_into_cubes(
         state.corner_xyz, state.corner_cnt, jnp.asarray(pts),
         jnp.ones(cap, bool), state.origin, M)
-    xyz2, cnt2 = mapping.scatter_into_cubes(
+    xyz2, cnt2, _ = mapping.scatter_into_cubes(
         xyz1, cnt1, jnp.asarray(pts), jnp.ones(cap, bool), state.origin, M)
     assert int(np.asarray(cnt1).max()) == cap
     assert int(np.asarray(cnt2).max()) == cap  # capped, not overflowed
