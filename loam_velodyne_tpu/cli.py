@@ -75,17 +75,25 @@ def _load_sweeps(args, cfg):
 def cmd_run(args):
     import numpy as np
     cfg = _build_config(args)
-    sweeps, gt, times = _load_sweeps(args, cfg)
 
     from loam_velodyne_tpu.io.driver import LoamDriver
     drv = LoamDriver(cfg, system_delay=args.system_delay)
     t0 = time.perf_counter()
-    for i, pts in enumerate(sweeps):
-        outs = drv.process_sweep(pts)
-        if outs is not None and args.verbose:
-            pose = np.asarray(outs.fused_pose)
-            print(f"sweep {i}: pos=({pose[3]:+.3f}, {pose[4]:+.3f}, "
-                  f"{pose[5]:+.3f})", file=sys.stderr)
+    gt = None
+    if args.source == "bag":
+        # full bag replay: clouds + IMU, message order (the 4-node
+        # launch equivalent; --imu-topic mirrors the hector launch's
+        # IMU remap, reference hector_loam_velodyne.launch:11)
+        drv.run_bag(args.path, cloud_topic=args.topic,
+                    imu_topic=args.imu_topic)
+    else:
+        sweeps, gt, times = _load_sweeps(args, cfg)
+        for i, pts in enumerate(sweeps):
+            outs = drv.process_sweep(pts)
+            if outs is not None and args.verbose:
+                pose = np.asarray(outs.fused_pose)
+                print(f"sweep {i}: pos=({pose[3]:+.3f}, {pose[4]:+.3f}, "
+                      f"{pose[5]:+.3f})", file=sys.stderr)
     wall = time.perf_counter() - t0
 
     est = drv.positions()
@@ -106,6 +114,18 @@ def cmd_run(args):
         smap = jax.jit(lambda s: surround_map(s, cfg))(drv.state.mapping)
         write_pcd(args.out_map, np.asarray(smap.xyz)[np.asarray(smap.mask)])
         report["map"] = args.out_map
+    if args.out_full_map:
+        import jax
+        from loam_velodyne_tpu.models.mapping import full_map
+        from loam_velodyne_tpu.io.pcd import write_pcd
+        xyz, mask = jax.jit(
+            lambda s: full_map(s, cfg))(drv.state.mapping)
+        write_pcd(args.out_full_map, np.asarray(xyz)[np.asarray(mask)])
+        report["full_map"] = args.out_full_map
+    if args.out_plot:
+        from loam_velodyne_tpu.eval.viz import plot_trajectory
+        plot_trajectory(drv.positions(), args.out_plot, gt=gt)
+        report["plot"] = args.out_plot
     if args.checkpoint:
         drv.save_checkpoint(args.checkpoint)
         report["checkpoint"] = args.checkpoint
@@ -140,6 +160,9 @@ def main(argv=None):
                       default="synthetic")
     runp.add_argument("--path", help="input file for bag/pcap sources")
     runp.add_argument("--topic", default="/velodyne_points")
+    runp.add_argument("--imu-topic", default="/imu/data")
+    runp.add_argument("--out-plot", help="write trajectory PNG here")
+    runp.add_argument("--out-full-map", help="write full map PCD here")
     runp.add_argument("--lidar", default="VLP-16")
     runp.add_argument("--sweeps", type=int, default=20)
     runp.add_argument("--azimuth", type=int, default=900)

@@ -469,6 +469,22 @@ def step(state: MappingState, odom_pose: Array, corner_cloud: PointSet,
                                      transform_bef=odom_pose)
 
 
+def full_map(state: MappingState, cfg: LoamConfig) -> Tuple[Array, Array]:
+    """Every stored map point (corner + surf) across the whole rolling
+    window, with a validity mask — the complete world model, for export."""
+    m = cfg.mapping
+
+    def flatten(xyz, cnt):
+        cap = xyz.shape[1]
+        mask = jnp.arange(cap)[None, :] < cnt[:, None]
+        return xyz.reshape(-1, 3), mask.reshape(-1)
+
+    cx, cm = flatten(state.corner_xyz, state.corner_cnt)
+    sx, sm = flatten(state.surf_xyz, state.surf_cnt)
+    return (jnp.concatenate([cx, sx], axis=0),
+            jnp.concatenate([cm, sm], axis=0))
+
+
 def surround_map(state: MappingState, cfg: LoamConfig,
                  capacity: int = 65536) -> PointSet:
     """Downsized surround map (reference createDownsizedMap, :242-264):
