@@ -209,6 +209,7 @@ class Capacities:
     less_sharp: int = 2048    # less-sharp corners per sweep
     flat: int = 512           # flat surface points per sweep
     less_flat: int = 8192     # downsampled less-flat points per sweep
+    less_flat_pool: int = 16384  # pre-voxel candidate pool (compacted)
     full_cloud: int = 40960   # full-resolution reprojected sweep
     map_corner_search: int = 0   # filled in derive()
     map_surf_search: int = 0
@@ -225,7 +226,8 @@ class Capacities:
         ncubes = min(mapping.n_neighborhood_cubes, mapping.max_active_cubes)
         return Capacities(
             sharp=sharp, less_sharp=less_sharp, flat=flat,
-            less_flat=less_flat, full_cloud=full,
+            less_flat=less_flat, less_flat_pool=min(full, 16384),
+            full_cloud=full,
             map_corner_search=ncubes * mapping.corner_cube_capacity,
             map_surf_search=ncubes * mapping.surf_cube_capacity,
         )

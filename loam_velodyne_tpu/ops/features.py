@@ -365,8 +365,11 @@ def extract_features(grid: RingGrid, reg: RegistrationConfig,
     less_sharp = gather(labels_f >= LABEL_LESS_SHARP, caps.less_sharp)
     flat = gather(labels_f == LABEL_FLAT, caps.flat)
 
+    # Compact the candidate pool BEFORE voxelization: the sort inside
+    # the voxel grid then runs on the pool capacity instead of the full
+    # R*P grid (a VLP-16 sweep has ~14k in-region points in a 32k grid).
     less_flat_sel = in_region_f & (labels_f <= LABEL_NEUTRAL)
-    less_flat_all = gather(less_flat_sel, caps.full_cloud)
+    less_flat_all = gather(less_flat_sel, caps.less_flat_pool)
     less_flat = voxel_downsample(less_flat_all, reg.less_flat_filter_size,
                                  caps.less_flat, per_ring=True)
     return SweepFeatures(sharp=sharp, less_sharp=less_sharp, flat=flat,
