@@ -184,7 +184,10 @@ def main(argv=None):
     infop.set_defaults(fn=cmd_info)
 
     args = p.parse_args(argv)
-    args.fn(args)
+    try:
+        args.fn(args)
+    except (FileNotFoundError, ValueError) as e:
+        raise SystemExit(f"error: {e}")
 
 
 if __name__ == "__main__":

@@ -113,6 +113,9 @@ def _rel_from_az(az: np.ndarray) -> np.ndarray:
 def read_pcap_sweeps(path: str, lidar: LidarConfig, native: bool = True
                      ) -> Tuple[List[np.ndarray], List[float]]:
     """Returns (sweeps, nominal_times). Native path when available."""
+    import os
+    if not os.path.exists(path):
+        raise FileNotFoundError(path)
     if native:
         out = _native_read(path)
         if out is not None:

@@ -207,6 +207,9 @@ def read_messages(path: str, cloud_topic: str = "/velodyne_points",
                   imu_topic: str = "/imu/data", native: bool = True):
     """Yields ("cloud", stamp, (N,3) f32) and ("imu", stamp, (10,) f64)
     tuples in file order."""
+    import os
+    if not os.path.exists(path):
+        raise FileNotFoundError(path)
     if native:
         gen = _native_messages(path, cloud_topic, imu_topic)
         if gen is not None:
