@@ -133,6 +133,12 @@ class MappingConfig:
     max_iterations: int = 10
     delta_t_abort: float = 0.05
     delta_r_abort: float = 0.05
+    # 5-NN + fit refresh cadence inside the GN loop. The reference
+    # re-searches every iteration; 2 halves the per-frame search cost
+    # with no measurable ATE change (the odometry stage's own refresh
+    # idiom, BasicLaserOdometry.cpp:251, uses 5). Set 1 for the exact
+    # reference behavior.
+    corresp_refresh_every: int = 2
     cube_size: float = 50.0           # meters per map cube
     grid_width: int = 21              # cubes along x
     grid_height: int = 11             # cubes along y

@@ -131,8 +131,16 @@ def run_chunk(state: EngineState, raws: scan_mod.RawSweep, cfg: LoamConfig
 def registered_cloud(state: EngineState, raw: scan_mod.RawSweep,
                      cfg: LoamConfig) -> PointSet:
     """Full-resolution sweep registered into the map frame
-    (/velodyne_cloud_registered; reference transformFullResToMap,
-    BasicLaserMapping.cpp:235-240)."""
+    (/velodyne_cloud_registered): deskewed to the sweep end with the
+    odometry motion (reference LaserOdometry.cpp:326) and projected by
+    the mapped pose (transformFullResToMap, BasicLaserMapping.cpp:235-240).
+    """
+    from loam_velodyne_tpu.models.odometry import ImuSweepState
     _, full = scan_mod.ingest_sweep(raw, cfg.lidar, cfg.registration)
-    xyz = lm.pose_transform_points(state.mapping.transform_aft, full.xyz)
-    return PointSet(xyz=xyz, rel=full.rel, ring=full.ring, mask=full.mask)
+    imu0 = ImuSweepState.zero()
+    xyz = lm.transform_to_end(full.xyz, full.rel, state.odometry.transform,
+                              imu0.start_rpy, imu0.end_rpy,
+                              imu0.shift_from_start)
+    xyz = lm.pose_transform_points(state.mapping.transform_aft, xyz)
+    return PointSet(xyz=xyz, rel=jnp.zeros_like(full.rel), ring=full.ring,
+                    mask=full.mask)

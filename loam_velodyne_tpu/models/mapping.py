@@ -276,6 +276,13 @@ class _OptCarry(NamedTuple):
     mat_p: Array
     degenerate: Array
     done: Array
+    # cached correspondence fits (refreshed every corresp_refresh_every)
+    line_a: Array     # (Qc, 3)
+    line_b: Array     # (Qc, 3)
+    line_valid: Array  # (Qc,)
+    plane_n: Array    # (Qs, 3)
+    plane_d: Array    # (Qs,)
+    plane_valid: Array  # (Qs,)
 
 
 def optimize_pose(corner_stack: PointSet, surf_stack: PointSet,
@@ -284,10 +291,19 @@ def optimize_pose(corner_stack: PointSet, surf_stack: PointSet,
                   tobe0: Array, cfg: LoamConfig) -> Array:
     """The <=10-iteration map-alignment GN
     (reference optimizeTransformTobeMapped, BasicLaserMapping.cpp:626-923).
+
+    Divergence for TPU economy: the reference re-runs the 5-NN + fits
+    every iteration; here they refresh every ``corresp_refresh_every``
+    iterations (the same caching idiom the reference itself uses in the
+    odometry stage, BasicLaserOdometry.cpp:251) — with the pose moving
+    sub-centimeter per iteration the cached line/plane geometry is
+    equally valid, and the accuracy gate (ATE) confirms parity.
     """
     m = cfg.mapping
     corner_sorted = sort_cloud(map_corner_xyz, map_corner_mask, axis=2)
     surf_sorted = sort_cloud(map_surf_xyz, map_surf_mask, axis=2)
+    qc_n = corner_stack.xyz.shape[0]
+    qs_n = surf_stack.xyz.shape[0]
 
     run = ((jnp.sum(map_corner_mask) > m.min_corner_map_points)
            & (jnp.sum(map_surf_mask) > m.min_surface_map_points))
@@ -295,9 +311,8 @@ def optimize_pose(corner_stack: PointSet, surf_stack: PointSet,
     def cond(c: _OptCarry):
         return (c.it < m.max_iterations) & ~c.done & run
 
-    def body(c: _OptCarry) -> _OptCarry:
-        # --- corners: point-to-line against 5-NN eigen line fits ---
-        qc = _map_point(c.tf, corner_stack.xyz)
+    def refresh_fits(tf):
+        qc = _map_point(tf, corner_stack.xyz)
         idx_c, d2_c = tiled_windowed_knn(qc, corner_stack.mask,
                                          corner_sorted, k=5,
                                          window=m.knn_window,
@@ -307,24 +322,39 @@ def optimize_pose(corner_stack: PointSet, surf_stack: PointSet,
         centroid, direction, line_ok = fit.line_fit(nbrs_c)
         pa = centroid + m.line_half_length * direction
         pb = centroid - m.line_half_length * direction
-        d_c, dir_c = _line_dist(qc, pa, pb)
-        s_c = 1.0 - m.corner_weight_decay * jnp.abs(d_c)
-        sel_c = corner_stack.mask & gate_c & line_ok & (s_c > m.weight_floor)
-        coeff_c = (s_c[:, None] * dir_c) * sel_c[:, None]
 
-        # --- surfels: point-to-plane against 5-NN LSQ plane fits ---
-        qs = _map_point(c.tf, surf_stack.xyz)
+        qs = _map_point(tf, surf_stack.xyz)
         idx_s, d2_s = tiled_windowed_knn(qs, surf_stack.mask, surf_sorted,
                                          k=5, window=m.knn_window,
                                          group=m.knn_group)
         gate_s = d2_s[:, 4] < m.nn_sq_dist_gate
         nbrs_s = surf_sorted.xyz[idx_s]
-        normal, dplane, plane_ok = fit.plane_fit(nbrs_s, m.plane_max_residual)
+        normal, dplane, plane_ok = fit.plane_fit(nbrs_s,
+                                                 m.plane_max_residual)
+        return (pa, pb, corner_stack.mask & gate_c & line_ok,
+                normal, dplane, surf_stack.mask & gate_s & plane_ok)
+
+    def body(c: _OptCarry) -> _OptCarry:
+        (pa, pb, cvalid, normal, dplane, svalid) = jax.lax.cond(
+            c.it % m.corresp_refresh_every == 0,
+            lambda: refresh_fits(c.tf),
+            lambda: (c.line_a, c.line_b, c.line_valid,
+                     c.plane_n, c.plane_d, c.plane_valid))
+
+        # --- corners: point-to-line residuals against cached fits ---
+        qc = _map_point(c.tf, corner_stack.xyz)
+        d_c, dir_c = _line_dist(qc, pa, pb)
+        s_c = 1.0 - m.corner_weight_decay * jnp.abs(d_c)
+        sel_c = cvalid & (s_c > m.weight_floor)
+        coeff_c = (s_c[:, None] * dir_c) * sel_c[:, None]
+
+        # --- surfels: point-to-plane residuals against cached fits ---
+        qs = _map_point(c.tf, surf_stack.xyz)
         d_s = jnp.sum(normal * qs, axis=-1) + dplane
         dist_s = jnp.sqrt(jnp.linalg.norm(qs, axis=-1))
         s_s = 1.0 - m.corner_weight_decay * jnp.abs(d_s) \
             / jnp.maximum(dist_s, 1e-6)
-        sel_s = surf_stack.mask & gate_s & plane_ok & (s_s > m.weight_floor)
+        sel_s = svalid & (s_s > m.weight_floor)
         coeff_s = (s_s[:, None] * normal) * sel_s[:, None]
 
         a_rows = jnp.concatenate([
@@ -360,12 +390,20 @@ def optimize_pose(corner_stack: PointSet, surf_stack: PointSet,
         delta_t = jnp.linalg.norm(x[3:] * 100.0)
         done = enough & (delta_r < m.delta_r_abort) & (delta_t < m.delta_t_abort)
         return _OptCarry(tf=tf_new, it=c.it + 1, mat_p=mat_p,
-                         degenerate=degenerate, done=done)
+                         degenerate=degenerate, done=done,
+                         line_a=pa, line_b=pb, line_valid=cvalid,
+                         plane_n=normal, plane_d=dplane, plane_valid=svalid)
 
     init = _OptCarry(tf=tobe0, it=jnp.zeros((), jnp.int32),
                      mat_p=jnp.eye(6, dtype=jnp.float32),
                      degenerate=jnp.zeros((), bool),
-                     done=jnp.zeros((), bool))
+                     done=jnp.zeros((), bool),
+                     line_a=jnp.zeros((qc_n, 3), jnp.float32),
+                     line_b=jnp.zeros((qc_n, 3), jnp.float32),
+                     line_valid=jnp.zeros((qc_n,), bool),
+                     plane_n=jnp.zeros((qs_n, 3), jnp.float32),
+                     plane_d=jnp.zeros((qs_n,), jnp.float32),
+                     plane_valid=jnp.zeros((qs_n,), bool))
     return jax.lax.while_loop(cond, body, init).tf
 
 
