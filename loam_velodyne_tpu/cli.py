@@ -138,6 +138,27 @@ def cmd_bench(args):
                               str(args.sweeps)]))
 
 
+def cmd_profile(args):
+    """Capture a JAX device trace over N sweeps (TensorBoard/Perfetto)."""
+    cfg = _build_config(args)
+    from loam_velodyne_tpu.io import synthetic
+    from loam_velodyne_tpu.io.driver import LoamDriver
+    from loam_velodyne_tpu.utils.profiling import device_trace
+    sweeps, _, _ = synthetic.generate_sequence(args.sweeps + args.warmup,
+                                               lidar=cfg.lidar,
+                                               n_azimuth=args.azimuth)
+    drv = LoamDriver(cfg, system_delay=0)
+    for pts in sweeps[:args.warmup]:
+        drv.process_sweep(pts)
+    with device_trace(args.out):
+        for pts in sweeps[args.warmup:]:
+            drv.process_sweep(pts)
+    print(json.dumps({"trace_dir": args.out, "sweeps": args.sweeps,
+                      "mean_step_ms": round(
+                          1e3 * sum(drv.step_times[args.warmup:])
+                          / max(args.sweeps, 1), 2)}))
+
+
 def cmd_info(args):
     import jax
     from loam_velodyne_tpu import __version__
@@ -179,6 +200,16 @@ def main(argv=None):
     benchp = sub.add_parser("bench", help="run the headline benchmark")
     benchp.add_argument("--sweeps", type=int, default=30)
     benchp.set_defaults(fn=cmd_bench)
+
+    profp = sub.add_parser("profile",
+                           help="capture a device trace over N sweeps")
+    profp.add_argument("--sweeps", type=int, default=4)
+    profp.add_argument("--warmup", type=int, default=3)
+    profp.add_argument("--azimuth", type=int, default=900)
+    profp.add_argument("--lidar", default="VLP-16")
+    profp.add_argument("--out", default="/tmp/loam_trace")
+    profp.add_argument("--set", action="append", metavar="KEY=VALUE")
+    profp.set_defaults(fn=cmd_profile)
 
     infop = sub.add_parser("info", help="environment and presets")
     infop.set_defaults(fn=cmd_info)

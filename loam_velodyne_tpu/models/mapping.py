@@ -252,6 +252,7 @@ def downsample_cubes(cube_xyz: Array, cube_cnt: Array, sidx: Array,
 def _select_active(flags: Array, k: int) -> Tuple[Array, Array]:
     """Pick up to k set positions of a boolean vector; returns
     (positions (k,), active (k,))."""
+    k = min(k, flags.shape[0])
     score, idx = jax.lax.top_k(flags.astype(jnp.int32), k)
     return idx, score > 0
 
