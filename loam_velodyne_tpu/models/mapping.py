@@ -366,15 +366,16 @@ def optimize_pose(corner_stack: PointSet, surf_stack: PointSet,
         n_sel = jnp.sum(sel_c) + jnp.sum(sel_s)
         enough = n_sel >= m.min_selected
 
+        from loam_velodyne_tpu.utils.linalg import cholesky_solve, jacobi_eigh
         hi = jax.lax.Precision.HIGHEST
         ata = jnp.matmul(a_rows.T, a_rows, precision=hi)
         atb = jnp.matmul(a_rows.T, b_vec, precision=hi)
-        x = jnp.linalg.solve(ata, atb)
+        x = cholesky_solve(ata, atb)
 
         first = (c.it == 0) & enough
 
         def projector():
-            w, v = jnp.linalg.eigh(ata)
+            w, v = jacobi_eigh(ata)
             keep = (w >= m.degeneracy_eigen_threshold).astype(jnp.float32)
             return (jnp.matmul(v * keep[None, :], v.T, precision=hi),
                     jnp.any(keep < 0.5))
