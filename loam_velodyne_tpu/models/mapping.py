@@ -366,16 +366,15 @@ def optimize_pose(corner_stack: PointSet, surf_stack: PointSet,
         n_sel = jnp.sum(sel_c) + jnp.sum(sel_s)
         enough = n_sel >= m.min_selected
 
-        from loam_velodyne_tpu.utils.linalg import cholesky_solve, jacobi_eigh
         hi = jax.lax.Precision.HIGHEST
         ata = jnp.matmul(a_rows.T, a_rows, precision=hi)
         atb = jnp.matmul(a_rows.T, b_vec, precision=hi)
-        x = cholesky_solve(ata, atb)
+        x = jnp.linalg.solve(ata, atb)
 
         first = (c.it == 0) & enough
 
         def projector():
-            w, v = jacobi_eigh(ata)
+            w, v = jnp.linalg.eigh(ata)
             keep = (w >= m.degeneracy_eigen_threshold).astype(jnp.float32)
             return (jnp.matmul(v * keep[None, :], v.T, precision=hi),
                     jnp.any(keep < 0.5))

@@ -138,22 +138,20 @@ def _jacobian_rows(tf: Array, pts: Array, coeff: Array) -> Array:
 
 def _solve_gn(a_rows: Array, b_vec: Array) -> Tuple[Array, Array]:
     """Normal-equation solve; returns (x, AtA). HIGHEST precision keeps
-    the 6x6 system f32-accurate despite the MXU's bf16 default; the
-    solve itself is the unrolled Cholesky (utils/linalg.py) — the
-    general LU lowering is loop-heavy on TPU."""
-    from loam_velodyne_tpu.utils.linalg import cholesky_solve
+    the 6x6 system f32-accurate despite the MXU's bf16 default.
+    (Measured: the batched LU lowering beats an unrolled Cholesky here —
+    scalar dependency chains don't vectorize; see PERF.md.)"""
     hi = jax.lax.Precision.HIGHEST
     ata = jnp.matmul(a_rows.T, a_rows, precision=hi)
     atb = jnp.matmul(a_rows.T, b_vec, precision=hi)
-    return cholesky_solve(ata, atb), ata
+    return jnp.linalg.solve(ata, atb), ata
 
 
 def _degeneracy_projector(ata: Array, threshold: float) -> Tuple[Array, Array]:
     """P = V diag(keep) V^T zeroing eigendirections with eigenvalue below
     threshold (reference BasicLaserOdometry.cpp:561-597; ascending
     eigenvalues + break == keep all >= threshold)."""
-    from loam_velodyne_tpu.utils.linalg import jacobi_eigh
-    w, v = jacobi_eigh(ata)
+    w, v = jnp.linalg.eigh(ata)
     keep = (w >= threshold).astype(jnp.float32)
     hi = jax.lax.Precision.HIGHEST
     p = jnp.matmul(v * keep[None, :], v.T, precision=hi)
