@@ -35,7 +35,7 @@ import jax
 import jax.numpy as jnp
 
 from loam_velodyne_tpu.config import Capacities, RegistrationConfig
-from loam_velodyne_tpu.ops.voxel import _compact, voxel_downsample
+from loam_velodyne_tpu.ops.voxel import compact_pointset, voxel_downsample
 from loam_velodyne_tpu.types import PointSet, RingGrid
 
 Array = jax.Array
@@ -357,9 +357,7 @@ def extract_features(grid: RingGrid, reg: RegistrationConfig,
 
     def gather(sel: Array, capacity: int) -> PointSet:
         vals = PointSet(xyz=flat_xyz, rel=flat_rel, ring=flat_ring, mask=sel)
-        packed, kept = _compact(vals, sel, capacity)
-        return PointSet(xyz=packed.xyz, rel=packed.rel, ring=packed.ring,
-                        mask=kept)
+        return compact_pointset(vals, sel, capacity)
 
     sharp = gather(labels_f == LABEL_SHARP, caps.sharp)
     less_sharp = gather(labels_f >= LABEL_LESS_SHARP, caps.less_sharp)

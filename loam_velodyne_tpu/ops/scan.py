@@ -155,31 +155,34 @@ def ingest_sweep(raw: RawSweep, lidar: LidarConfig,
                               jnp.cumsum(counts[:-1]).astype(jnp.int32)])
 
     keep = valid & (rank < p_cap)
-    # Scatter into the (R, P) grid through a flat index; dropped/invalid
-    # points all land out of range and are dropped by the scatter.
+    # One wide scatter of [xyz, rel, mask] into the (R, P) grid through
+    # a flat index; dropped/invalid points land out of range and are
+    # dropped by the scatter.
     flat_idx = jnp.where(keep, ring_key * p_cap + rank, r_rings * p_cap)
-    grid_xyz = (jnp.zeros((r_rings * p_cap, 3), jnp.float32)
-                .at[flat_idx].set(jnp.where(keep[:, None], swapped, 0.0),
-                                  mode="drop")
-                .reshape(r_rings, p_cap, 3))
-    grid_rel = (jnp.zeros((r_rings * p_cap,), jnp.float32)
-                .at[flat_idx].set(jnp.where(keep, rel, 0.0), mode="drop")
-                .reshape(r_rings, p_cap))
-    grid_mask = (jnp.zeros((r_rings * p_cap,), bool)
-                 .at[flat_idx].set(keep, mode="drop")
-                 .reshape(r_rings, p_cap))
+    grid_payload = jnp.concatenate(
+        [swapped, rel[:, None], jnp.ones((n, 1), jnp.float32)], axis=1)
+    grid_payload = jnp.where(keep[:, None], grid_payload, 0.0)
+    grid_all = (jnp.zeros((r_rings * p_cap, 5), jnp.float32)
+                .at[flat_idx].set(grid_payload, mode="drop")
+                .reshape(r_rings, p_cap, 5))
+    grid_xyz = grid_all[..., :3]
+    grid_rel = grid_all[..., 3]
+    grid_mask = grid_all[..., 4] > 0.5
     grid_count = jnp.minimum(counts[:r_rings], p_cap)
 
     # Flat ring-major full-resolution cloud (the reference's
     # concatenated _laserCloud layout) via the same rank scatter.
     dest = jnp.where(valid, starts[jnp.clip(ring_key, 0, r_rings)] + rank, n)
-    full_xyz = jnp.zeros((n, 3), jnp.float32).at[dest].set(
-        jnp.where(valid[:, None], swapped, 0.0), mode="drop")
-    full_rel = jnp.zeros((n,), jnp.float32).at[dest].set(
-        jnp.where(valid, rel, 0.0), mode="drop")
-    full_ring = jnp.zeros((n,), jnp.int32).at[dest].set(
-        jnp.where(valid, ring_key, 0), mode="drop")
-    full_mask = jnp.zeros((n,), bool).at[dest].set(keep, mode="drop")
+    full_payload = jnp.concatenate(
+        [swapped, rel[:, None], ring_key[:, None].astype(jnp.float32),
+         keep[:, None].astype(jnp.float32)], axis=1)
+    full_payload = jnp.where(valid[:, None], full_payload, 0.0)
+    full_all = jnp.zeros((n, 6), jnp.float32).at[dest].set(
+        full_payload, mode="drop")
+    full_xyz = full_all[:, :3]
+    full_rel = full_all[:, 3]
+    full_ring = full_all[:, 4].astype(jnp.int32)
+    full_mask = full_all[:, 5] > 0.5
 
     grid = RingGrid(xyz=grid_xyz, rel=grid_rel, mask=grid_mask,
                     count=grid_count)

@@ -16,8 +16,6 @@ trajectory error, not point-set equality.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 
@@ -26,26 +24,22 @@ from loam_velodyne_tpu.types import PointSet
 Array = jax.Array
 
 
-def _compact(values: Array, keep: Array, capacity: int):
-    """Front-pack rows of ``values`` where ``keep`` is True, into a fixed
-    capacity. Returns (packed_values, packed_mask). Stable order.
-
-    Implemented as prefix-sum + scatter (O(N)) rather than a stable
-    sort (O(N log^2 N) bitonic passes on TPU) — compaction happens on
-    every feature cloud every sweep, and the sorts were visible in
-    profiles."""
+def compact_pointset(ps: PointSet, keep: Array, capacity: int) -> PointSet:
+    """Front-pack a PointSet's kept rows into a fixed capacity with ONE
+    wide scatter ([xyz, rel, ring] packed as f32; ring ids < 2^24 are
+    exact in f32). Stable order."""
     n = keep.shape[0]
     pos = jnp.cumsum(keep.astype(jnp.int32)) - 1
-    dest = jnp.where(keep, pos, n)        # out-of-range rows are dropped
-
-    def scat(v):
-        out = jnp.zeros((capacity,) + v.shape[1:], v.dtype)
-        return out.at[dest].set(v, mode="drop")
-
-    packed = jax.tree_util.tree_map(scat, values)
+    dest = jnp.where(keep, pos, n)
+    payload = jnp.concatenate(
+        [ps.xyz, ps.rel[:, None], ps.ring.astype(jnp.float32)[:, None]],
+        axis=1)
+    packed = (jnp.zeros((capacity, 5), jnp.float32)
+              .at[dest].set(payload, mode="drop"))
     count = jnp.minimum(jnp.sum(keep.astype(jnp.int32)), capacity)
-    kept = jnp.arange(capacity) < count
-    return packed, kept
+    mask = jnp.arange(capacity) < count
+    return PointSet(xyz=packed[:, :3], rel=packed[:, 3],
+                    ring=packed[:, 4].astype(jnp.int32), mask=mask)
 
 
 def voxel_downsample(ps: PointSet, leaf: float, capacity: int,
@@ -94,17 +88,19 @@ def voxel_downsample(ps: PointSet, leaf: float, capacity: int,
     seg_id = jnp.cumsum(seg_start.astype(jnp.int32)) - 1
     seg_id = jnp.where(mask_s, seg_id, n - 1)  # shunt padding to last segment
 
-    ssum = partial(jax.ops.segment_sum, num_segments=n)
-    cnt = ssum(mask_s.astype(jnp.float32), seg_id)
-    cx = ssum(jnp.where(mask_s[:, None], xyz_s, 0.0), seg_id)
-    cr = ssum(jnp.where(mask_s, rel_s, 0.0), seg_id)
+    # One wide segment-sum for [xyz, rel, count] instead of three
+    # scatters (each segment_sum is its own scatter pass on TPU).
+    payload = jnp.concatenate(
+        [xyz_s, rel_s[:, None], jnp.ones((n, 1), jnp.float32)], axis=1)
+    payload = jnp.where(mask_s[:, None], payload, 0.0)
+    sums = jax.ops.segment_sum(payload, seg_id, num_segments=n)
+    cnt = sums[:, 4]
     denom = jnp.maximum(cnt, 1.0)
-    centroid = cx / denom[:, None]
-    rel_mean = cr / denom
+    centroid = sums[:, :3] / denom[:, None]
+    rel_mean = sums[:, 3] / denom
 
     # One output row per segment: place the centroid at each segment's
     # first sorted position, then compact.
     vals = PointSet(xyz=centroid[seg_id], rel=rel_mean[seg_id],
                     ring=real_ring_s, mask=seg_start)
-    packed, kept = _compact(vals, seg_start, capacity)
-    return PointSet(xyz=packed.xyz, rel=packed.rel, ring=packed.ring, mask=kept)
+    return compact_pointset(vals, seg_start, capacity)
