@@ -219,6 +219,74 @@ def scatter_into_cubes(cube_xyz: Array, cube_cnt: Array, pts: Array,
     return new_xyz, new_cnt, added[:nc] > 0
 
 
+def insert_into_local_slabs(local_xyz: Array, local_cnt: Array, pts: Array,
+                            mask: Array, base_w: Array, origin: Array,
+                            m: MappingConfig) -> Tuple[Array, Array, Array]:
+    """Append map-frame points into GATHERED neighborhood slabs.
+
+    local_xyz: (L, cap, 3) slabs of the (2r+1)^3 neighborhood cubes in
+    meshgrid order (fov_valid_cubes' ``off`` layout); base_w: (3,) world
+    cube coord of the neighborhood's corner (sensor_w - r). Points
+    outside the neighborhood or the live window are dropped (a lidar
+    return always lands within +-(r) cubes of the sensor for ranges
+    < r*cube_size; the reference can keep farther points,
+    BasicLaserMapping.cpp:536-577 — divergence noted).
+    Returns (slabs, counts, received).
+    """
+    l, cap, _ = local_xyz.shape
+    side = 2 * m.neighborhood + 1
+    w = world_cube_coord(pts, m)
+    rel3 = w - base_w[None, :]
+    in_nbhd = jnp.all((rel3 >= 0) & (rel3 < side), axis=-1)
+    c = w - origin[None, :]
+    d = _dims(m)
+    in_window = jnp.all((c >= 0) & (c < d[None, :]), axis=-1)
+    ok = mask & in_nbhd & in_window
+    # meshgrid 'ij' order: index = x*side^2 + y*side + z
+    lidx = jnp.where(ok, rel3[:, 0] * side * side + rel3[:, 1] * side
+                     + rel3[:, 2], l)
+
+    order = jnp.argsort(jnp.where(ok, lidx, l), stable=True)
+    lidx_s = lidx[order]
+    pts_s = pts[order]
+    ok_s = ok[order]
+    counts = jnp.zeros((l + 1,), jnp.int32).at[lidx_s].add(1)
+    starts = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                              jnp.cumsum(counts)[:-1].astype(jnp.int32)])
+    rank = jnp.arange(pts.shape[0], dtype=jnp.int32) \
+        - starts[jnp.clip(lidx_s, 0, l)]
+    slot = local_cnt[jnp.clip(lidx_s, 0, l - 1)] + rank
+    keep = ok_s & (slot < cap)
+    flat = jnp.where(keep, lidx_s * cap + slot, l * cap)
+    new_xyz = (local_xyz.reshape(-1, 3)
+               .at[flat].set(jnp.where(keep[:, None], pts_s, 0.0),
+                             mode="drop")
+               .reshape(l, cap, 3))
+    added = jnp.zeros((l + 1,), jnp.int32).at[lidx_s].add(
+        keep.astype(jnp.int32))
+    new_cnt = jnp.minimum(local_cnt + added[:l], cap)
+    return new_xyz, new_cnt, added[:l] > 0
+
+
+def downsample_local_slabs(local_xyz: Array, local_cnt: Array, do: Array,
+                           leaf: float) -> Tuple[Array, Array]:
+    """Voxel-thin selected gathered slabs in place (vmapped)."""
+    cap = local_xyz.shape[1]
+
+    def one(xyz, cnt):
+        mask = jnp.arange(cap) < cnt
+        ps = PointSet(xyz=xyz, rel=jnp.zeros((cap,), jnp.float32),
+                      ring=jnp.zeros((cap,), jnp.int32), mask=mask)
+        out = voxel_downsample(ps, leaf, cap)
+        return out.xyz, jnp.sum(out.mask).astype(jnp.int32)
+
+    ds_xyz, ds_cnt = jax.vmap(one)(local_xyz,
+                                   jnp.where(do, local_cnt, 0))
+    new_xyz = jnp.where(do[:, None, None], ds_xyz, local_xyz)
+    new_cnt = jnp.where(do, ds_cnt, local_cnt)
+    return new_xyz, new_cnt
+
+
 def downsample_cubes(cube_xyz: Array, cube_cnt: Array, sidx: Array,
                      valid: Array, leaf: float) -> Tuple[Array, Array]:
     """Voxel-downsample the selected cubes in place
@@ -452,16 +520,29 @@ def step(state: MappingState, odom_pose: Array, corner_cloud: PointSet,
     corner_cnt = jnp.where(clear, 0, state.corner_cnt)
     surf_cnt = jnp.where(clear, 0, state.surf_cnt)
 
-    # FOV-valid neighborhood cubes -> search clouds. Only up to
-    # max_active_cubes of the 125 are materialized (typically ~30 are
-    # FOV-valid; exact whenever the count fits the budget).
+    # Gather the (2r+1)^3 neighborhood slabs ONCE; assembly, insert and
+    # thinning all operate on these local copies, and the global cube
+    # buffers are touched exactly twice per frame (this gather + one
+    # whole-slab write-back) — point-level scatters into the 4851-cube
+    # buffers cost full-buffer passes on TPU.
     sidx, valid_fov, in_bounds = fov_valid_cubes(new_origin, tobe, m)
+    local_c = state.corner_xyz[sidx]
+    local_cc = jnp.where(in_bounds, corner_cnt[sidx], 0)
+    local_s = state.surf_xyz[sidx]
+    local_sc = jnp.where(in_bounds, surf_cnt[sidx], 0)
+
+    # Search clouds from up to max_active_cubes FOV-valid cubes
+    # (typically ~30 of 125; exact whenever the count fits the budget).
     pos_a, act_a = _select_active(valid_fov, m.max_active_cubes)
-    sidx_a = sidx[pos_a]
-    map_c_xyz, map_c_mask = assemble_map_cloud(state.corner_xyz, corner_cnt,
-                                               sidx_a, act_a)
-    map_s_xyz, map_s_mask = assemble_map_cloud(state.surf_xyz, surf_cnt,
-                                               sidx_a, act_a)
+
+    def local_assemble(xyz, cnt):
+        sel = xyz[pos_a]
+        c = jnp.where(act_a, cnt[pos_a], 0)
+        msk = jnp.arange(xyz.shape[1])[None, :] < c[:, None]
+        return sel.reshape(-1, 3), msk.reshape(-1)
+
+    map_c_xyz, map_c_mask = local_assemble(local_c, local_cc)
+    map_s_xyz, map_s_mask = local_assemble(local_s, local_sc)
 
     tobe = optimize_pose(corner_stack, surf_stack, map_c_xyz, map_c_mask,
                          map_s_xyz, map_s_mask, tobe, cfg)
@@ -475,29 +556,38 @@ def step(state: MappingState, odom_pose: Array, corner_cloud: PointSet,
         tobe = tobe.at[0].set(jnp.where(imu_ok, rx, tobe[0]))
         tobe = tobe.at[2].set(jnp.where(imu_ok, rz, tobe[2]))
 
-    # Scatter the downsized stacks into the map cubes.
+    # Insert the downsized stacks into the local slabs.
+    base_w = sensor_w - m.neighborhood
     corner_map_pts = _map_point(tobe, corner_stack.xyz)
     surf_map_pts = _map_point(tobe, surf_stack.xyz)
-    corner_xyz, corner_cnt, recv_c = scatter_into_cubes(
-        state.corner_xyz, corner_cnt, corner_map_pts, corner_stack.mask,
+    local_c, local_cc, recv_c = insert_into_local_slabs(
+        local_c, local_cc, corner_map_pts, corner_stack.mask, base_w,
         new_origin, m)
-    surf_xyz, surf_cnt, recv_s = scatter_into_cubes(
-        state.surf_xyz, surf_cnt, surf_map_pts, surf_stack.mask,
+    local_s, local_sc, recv_s = insert_into_local_slabs(
+        local_s, local_sc, surf_map_pts, surf_stack.mask, base_w,
         new_origin, m)
 
-    # Re-downsample in place. The reference thins every FOV-valid cube
+    # Re-thin in place. The reference thins every FOV-valid cube
     # (BasicLaserMapping.cpp:580-593); voxel thinning is idempotent, so
     # restricting to cubes that actually RECEIVED points this frame is
     # equivalent (a cube entering the FOV untouched stays slightly
     # denser until its next insert — harmless and cheaper).
-    pos_c, act_c = _select_active(valid_fov & recv_c[sidx],
-                                  m.max_active_cubes)
-    corner_xyz, corner_cnt = downsample_cubes(
-        corner_xyz, corner_cnt, sidx[pos_c], act_c, m.corner_leaf)
-    pos_s, act_s = _select_active(valid_fov & recv_s[sidx],
-                                  m.max_active_cubes)
-    surf_xyz, surf_cnt = downsample_cubes(
-        surf_xyz, surf_cnt, sidx[pos_s], act_s, m.surf_leaf)
+    def thin(xyz, cnt, recv, leaf):
+        pos, act = _select_active(recv & valid_fov, m.max_active_cubes)
+        sub_xyz, sub_cnt = downsample_local_slabs(xyz[pos], cnt[pos], act,
+                                                  leaf)
+        return xyz.at[pos].set(sub_xyz), cnt.at[pos].set(sub_cnt)
+
+    local_c, local_cc = thin(local_c, local_cc, recv_c, m.corner_leaf)
+    local_s, local_sc = thin(local_s, local_sc, recv_s, m.surf_leaf)
+
+    # Whole-slab write-back; aliased out-of-window entries are dropped.
+    nc = m.n_cubes
+    sidx_safe = jnp.where(in_bounds, sidx, nc)
+    corner_xyz = state.corner_xyz.at[sidx_safe].set(local_c, mode="drop")
+    corner_cnt = corner_cnt.at[sidx_safe].set(local_cc, mode="drop")
+    surf_xyz = state.surf_xyz.at[sidx_safe].set(local_s, mode="drop")
+    surf_cnt = surf_cnt.at[sidx_safe].set(local_sc, mode="drop")
 
     new_state = MappingState(
         corner_xyz=corner_xyz, corner_cnt=corner_cnt,
