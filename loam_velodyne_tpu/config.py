@@ -112,6 +112,11 @@ class OdometryConfig:
     delta_t_abort: float = 0.1        # cm-scale translation abort
     delta_r_abort: float = 0.1        # degree-scale rotation abort
     corresp_refresh_every: int = 5    # re-find correspondences every N iters
+    # Robust weighting (s = 1 - 1.8|d|) starts at this iteration. The
+    # reference has two distinct "5"s: the iterCount % 5 refresh cadence
+    # (BasicLaserOdometry.cpp:251) and the iterCount >= 5 weighting
+    # schedule (:345); overriding one must not silently move the other.
+    weight_start_iteration: int = 5
     nn_sq_dist_gate: float = 25.0     # 1-NN acceptance gate (m^2)
     ring_bracket: float = 2.5         # +/- rings for secondary line/plane points
     weight_decay: float = 1.8         # robust weight s = 1 - 1.8*|d| after iter 5

@@ -23,6 +23,7 @@ from loam_velodyne_tpu.models import engine as engine_mod
 from loam_velodyne_tpu.models.odometry import ImuSweepState
 from loam_velodyne_tpu.ops.scan import RawSweep
 from loam_velodyne_tpu.utils.checkpoint import load_pytree, save_pytree
+from loam_velodyne_tpu.utils.profiling import Metrics
 
 
 class LoamDriver:
@@ -43,6 +44,7 @@ class LoamDriver:
         self.checkpoint_path = checkpoint_path
         self.checkpoint_every = checkpoint_every
         self._delay_left = self.system_delay
+        self.resumed_sweeps = 0
         self.state = engine_mod.EngineState.create(self.cfg)
         # donate the state: without it XLA must preserve the input cube
         # map (~60 MB) across the call, copying it every sweep
@@ -58,6 +60,14 @@ class LoamDriver:
         self.odom_trajectory: List[np.ndarray] = []
         self.mapped_trajectory: List[np.ndarray] = []
         self.step_times: List[float] = []
+        # Observability (SURVEY §5): step timings + overflow counters
+        # from the engine's per-sweep Telemetry.
+        self.metrics = Metrics()
+        # Surround-map stream (reference /laser_cloud_surround every
+        # _mapFrameNum=5 mapping frames): latest downsized map + count.
+        self.surround_map = None          # (xyz (N,3), mask (N,)) numpy
+        self.surround_count = 0
+        self._surround_fn = None
 
     # ------------------------------------------------------------------
     # Feeding
@@ -87,21 +97,63 @@ class LoamDriver:
         else:
             self.state, outs = self._step(self.state, raw)
         fused = np.asarray(outs.fused_pose)
-        self.step_times.append(time.perf_counter() - t0)
+        dt = time.perf_counter() - t0
+        self.step_times.append(dt)
+        self.metrics.record("step", dt)
+        self._record_telemetry(outs.telemetry)
         self.trajectory.append(fused)
         self.odom_trajectory.append(np.asarray(outs.odom_pose))
         self.mapped_trajectory.append(np.asarray(outs.mapped_pose))
+        if bool(np.asarray(outs.surround_due)):
+            self._build_surround()
         if (self.checkpoint_path and self.checkpoint_every
                 and len(self.trajectory) % self.checkpoint_every == 0):
             self.save_checkpoint(self.checkpoint_path)
         return outs
 
+    def _record_telemetry(self, tel: engine_mod.Telemetry) -> None:
+        """Accumulate the engine's overflow counters (scalars, or (K,)
+        stacks from chunked runs) into the metrics registry."""
+        flat = {
+            "ingest_dropped": tel.ingest_dropped,
+            "feature_dropped": tel.feature_dropped,
+            "cube_corner_dropped": tel.mapping.cube_corner_dropped,
+            "cube_surf_dropped": tel.mapping.cube_surf_dropped,
+            "stack_corner_dropped": tel.mapping.stack_corner_dropped,
+            "stack_surf_dropped": tel.mapping.stack_surf_dropped,
+            "active_cube_deficit": tel.mapping.active_cube_deficit,
+        }
+        for name, v in flat.items():
+            self.metrics.count(name, int(np.sum(np.asarray(v))))
+
+    def _build_surround(self) -> None:
+        """Assemble the downsized surround map from the current state
+        (reference createDownsizedMap, BasicLaserMapping.cpp:242-264) —
+        runs as its own small jitted program only on cadence frames, so
+        the hot step never pays for it."""
+        from loam_velodyne_tpu.models import mapping as mapping_mod
+        if self._surround_fn is None:
+            self._surround_fn = jax.jit(
+                lambda ms: mapping_mod.surround_map(ms, self.cfg))
+        ps = self._surround_fn(self.state.mapping)
+        self.surround_map = (np.asarray(ps.xyz), np.asarray(ps.mask))
+        self.surround_count += 1
+        self.metrics.count("surround_maps")
+
     def resume(self) -> bool:
         """Load the auto-checkpoint if one exists; returns True if the
-        engine state was restored."""
+        engine state was restored.
+
+        After a successful resume, ``resumed_sweeps`` holds the number
+        of sweeps the restored state had already processed. Callers that
+        keep their own cursor feed only the remaining sweeps; ``run_bag``
+        re-fed the SAME bag from the start skips
+        system_delay + resumed_sweeps cloud messages automatically, so
+        crash-resume against one source continues where it left off."""
         import os
         if self.checkpoint_path and os.path.exists(self.checkpoint_path):
             self.load_checkpoint(self.checkpoint_path)
+            self.resumed_sweeps = int(np.asarray(self.state.sweep))
             return True
         return False
 
@@ -111,23 +163,35 @@ class LoamDriver:
             self.process_sweep(pts)
         return self.positions()
 
-    def run_chunked(self, sweeps: List[np.ndarray], chunk: int = 8
-                    ) -> np.ndarray:
+    def run_chunked(self, sweeps: List[np.ndarray], chunk: int = 8,
+                    stamps: Optional[List[float]] = None) -> np.ndarray:
         """Throughput mode: batch K sweeps per device call (lax.scan on
         device), amortizing dispatch latency. Startup delay must be
-        drained by the caller (system_delay=0) or beforehand."""
+        drained by the caller (system_delay=0) or beforehand.
+
+        stamps: optional per-sweep start times; with an attached
+        imu_tracker the sweeps are IMU-deskewed on the same throughput
+        path (ImuWindows stacked with a leading K axis)."""
         if self._delay_left > 0:
             raise RuntimeError("drain system_delay before run_chunked")
+        use_imu = self.imu_tracker is not None and stamps is not None
         if not hasattr(self, "_chunk_step"):
             self._chunk_step = {}
         for start in range(0, len(sweeps), chunk):
             batch = sweeps[start:start + chunk]
             k = len(batch)
-            if k not in self._chunk_step:
-                self._chunk_step[k] = jax.jit(
-                    lambda state, raws: engine_mod.run_chunk(
-                        state, raws, self.cfg),
-                    donate_argnums=(0,))
+            key = (k, use_imu)
+            if key not in self._chunk_step:
+                if use_imu:
+                    self._chunk_step[key] = jax.jit(
+                        lambda state, raws, wins: engine_mod.run_chunk(
+                            state, raws, self.cfg, wins),
+                        donate_argnums=(0,))
+                else:
+                    self._chunk_step[key] = jax.jit(
+                        lambda state, raws: engine_mod.run_chunk(
+                            state, raws, self.cfg),
+                        donate_argnums=(0,))
             xyz = np.zeros((k, self.sweep_capacity, 3), np.float32)
             mask = np.zeros((k, self.sweep_capacity), bool)
             for i, pts in enumerate(batch):
@@ -136,14 +200,27 @@ class LoamDriver:
                 mask[i, :n] = True
             raws = RawSweep(xyz=jnp.asarray(xyz), mask=jnp.asarray(mask))
             t0 = time.perf_counter()
-            self.state, outs = self._chunk_step[k](self.state, raws)
+            if use_imu:
+                wins = [self.imu_tracker.window_for_sweep(s)
+                        for s in stamps[start:start + k]]
+                stacked = jax.tree_util.tree_map(
+                    lambda *xs: jnp.stack(xs), *wins)
+                self.state, outs = self._chunk_step[key](self.state, raws,
+                                                         stacked)
+            else:
+                self.state, outs = self._chunk_step[key](self.state, raws)
             fused = np.asarray(outs.fused_pose)
             self.step_times.append((time.perf_counter() - t0) / k)
+            self._record_telemetry(outs.telemetry)
             for i in range(k):
                 self.trajectory.append(fused[i])
                 self.odom_trajectory.append(np.asarray(outs.odom_pose)[i])
                 self.mapped_trajectory.append(
                     np.asarray(outs.mapped_pose)[i])
+            # surround cadence in chunked mode: build once per chunk if
+            # any sweep in it was a publish frame (latest state).
+            if bool(np.any(np.asarray(outs.surround_due))):
+                self._build_surround()
         return self.positions()
 
     def positions(self) -> np.ndarray:
@@ -162,14 +239,35 @@ class LoamDriver:
         from loam_velodyne_tpu.io.imu import ImuTracker
         from loam_velodyne_tpu.io.rosbag import read_messages
         self.imu_tracker = ImuTracker(self.cfg.registration.imu_history_size)
+        # Crash-resume against the same bag: skip the cloud messages the
+        # restored state already consumed (startup delay + processed
+        # sweeps). IMU messages are still fed to warm the tracker.
+        skip = 0
+        if self.resumed_sweeps and not self.trajectory:
+            skip = self._delay_left + self.resumed_sweeps
+            self._delay_left = 0
         for kind, stamp, payload in read_messages(
                 path, cloud_topic=cloud_topic, imu_topic=imu_topic,
                 native=native):
             if kind == "imu":
                 self.imu_tracker.push_raw(stamp, payload[:4], payload[4:7])
+            elif skip > 0:
+                skip -= 1
             else:
                 self.process_sweep(payload, stamp)
         return self.positions()
+
+    def registered_cloud(self, pts: np.ndarray):
+        """Full-resolution sweep registered into the map frame — the
+        per-frame /velodyne_cloud_registered output (reference
+        BasicLaserMapping.cpp:235-240). Call with the sweep that was
+        just processed; uses the current engine state."""
+        if not hasattr(self, "_registered_fn"):
+            self._registered_fn = jax.jit(
+                lambda st, raw: engine_mod.registered_cloud(st, raw,
+                                                            self.cfg))
+        ps = self._registered_fn(self.state, self.pad_sweep(pts))
+        return np.asarray(ps.xyz), np.asarray(ps.mask)
 
     # ------------------------------------------------------------------
     # Checkpoint / resume (SURVEY.md §5: the reference loses the map on

@@ -122,28 +122,82 @@ def parse_imu(data: bytes) -> Tuple[float, np.ndarray]:
 # Readers
 # ---------------------------------------------------------------------------
 
+class _TopicBinder:
+    """Binds each stream (cloud/imu) to exactly ONE connection.
+
+    An exact topic match always wins; the message-type fallback is used
+    only when no connection carries the requested topic, and it binds
+    to a single connection (lowest conn id of that type). This keeps a
+    two-lidar bag, or a bag with both /imu/data and /imu/data_raw, from
+    interleaving two sources into one stream (the raw IMU topic has a
+    zero orientation quaternion, which would corrupt gravity removal).
+
+    Connections are collected in a cheap prescan pass (top-level records
+    + uncompressed chunks — `rosbag record` repeats every connection
+    record at top level after the chunk section, so compressed bags are
+    covered without decompressing twice); a connection first seen during
+    the message pass can still upgrade a fallback to an exact match."""
+
+    def __init__(self, cloud_topic: str, imu_topic: str):
+        self._want = {1: cloud_topic, 2: imu_topic}
+        self._type = {1: "sensor_msgs/PointCloud2", 2: "sensor_msgs/Imu"}
+        self._conn = {1: None, 2: None}
+        self._exact = {1: False, 2: False}
+
+    def connection(self, conn: int, topic: str, mtype: str) -> None:
+        for kind in (1, 2):
+            if topic == self._want[kind]:
+                self._conn[kind] = conn
+                self._exact[kind] = True
+            elif (not self._exact[kind] and self._conn[kind] is None
+                  and mtype == self._type[kind]):
+                self._conn[kind] = conn
+
+    def kind(self, conn: int) -> int:
+        for k in (1, 2):
+            if self._conn[k] == conn:
+                return k
+        return 0
+
+
+def _handle_connection(binder: _TopicBinder, header: dict, data: bytes):
+    (conn,) = struct.unpack("<I", header["conn"])
+    topic = header.get("topic", b"").decode()
+    ch = _parse_header(data)
+    mtype = ch.get("type", b"").decode()
+    binder.connection(conn, topic, mtype)
+
+
+def _prescan_connections(buf: bytes, binder: _TopicBinder) -> None:
+    """Register every connection record reachable without decompression:
+    top-level records plus the contents of uncompressed chunks."""
+    for header, data in _iter_records(buf):
+        op = header.get("op", b"\x00")[0]
+        if op == _OP_CONNECTION:
+            _handle_connection(binder, header, data)
+        elif (op == _OP_CHUNK
+              and header.get("compression", b"none") == b"none"):
+            for h2, d2 in _iter_records(data):
+                if h2.get("op", b"\x00")[0] == _OP_CONNECTION:
+                    _handle_connection(binder, h2, d2)
+
+
 def _python_messages(path: str, cloud_topic: str, imu_topic: str):
     with open(path, "rb") as f:
         magic = f.read(13)
         if not magic.startswith(b"#ROSBAG V2.0"):
             raise ValueError(f"{path}: not a rosbag v2.0 file")
         buf = f.read()
-    conn_kind = {}
+    binder = _TopicBinder(cloud_topic, imu_topic)
+    _prescan_connections(buf, binder)
 
     def handle(header, data):
         op = header.get("op", b"\x00")[0]
         if op == _OP_CONNECTION:
-            (conn,) = struct.unpack("<I", header["conn"])
-            topic = header.get("topic", b"").decode()
-            ch = _parse_header(data)
-            mtype = ch.get("type", b"").decode()
-            if topic == cloud_topic or mtype == "sensor_msgs/PointCloud2":
-                conn_kind[conn] = 1
-            elif topic == imu_topic or mtype == "sensor_msgs/Imu":
-                conn_kind[conn] = 2
+            _handle_connection(binder, header, data)
         elif op == _OP_MSG:
             (conn,) = struct.unpack("<I", header["conn"])
-            kind = conn_kind.get(conn, 0)
+            kind = binder.kind(conn)
             if kind == 1:
                 yield ("cloud", *parse_pointcloud2(data))
             elif kind == 2:
@@ -154,6 +208,11 @@ def _python_messages(path: str, cloud_topic: str, imu_topic: str):
                 inner = data
             elif comp == "bz2":
                 inner = bz2.decompress(data)
+            elif comp == "lz4":
+                from loam_velodyne_tpu.io import lz4f
+                (raw_size,) = struct.unpack("<I", header.get(
+                    "size", b"\x00\x00\x00\x00"))
+                inner = lz4f.decompress(data, expected_size=raw_size)
             else:
                 raise ValueError(f"unsupported chunk compression {comp}")
             for h2, d2 in _iter_records(inner):
@@ -235,13 +294,17 @@ def read_bag_sweeps(path: str, topic: str = "/velodyne_points",
 # ---------------------------------------------------------------------------
 
 class BagWriter:
-    """Minimal rosbag v2.0 writer: one uncompressed chunk per message.
+    """Minimal rosbag v2.0 writer: one chunk per message.
 
     Produces bags our readers (and rosbag-compatible tools that ignore
-    missing index records) can parse.
+    missing index records) can parse. compression: "none" (default),
+    "lz4" (LZ4 frames via liblz4, like `rosbag record --lz4`) or "bz2".
     """
 
-    def __init__(self, path: str):
+    def __init__(self, path: str, compression: str = "none"):
+        if compression not in ("none", "lz4", "bz2"):
+            raise ValueError(f"unsupported compression {compression}")
+        self._compression = compression
         self._f = open(path, "wb")
         self._f.write(b"#ROSBAG V2.0\n")
         # bag header record, padded to 4096 bytes like the real tool
@@ -276,9 +339,17 @@ class BagWriter:
     def _write_chunk(self, rec_header: bytes, rec_data: bytes):
         inner = (struct.pack("<I", len(rec_header)) + rec_header
                  + struct.pack("<I", len(rec_data)) + rec_data)
-        ch = _pack_header({"op": b"\x05", "compression": b"none",
+        comp = self._compression
+        if comp == "lz4":
+            from loam_velodyne_tpu.io import lz4f
+            payload = lz4f.compress(inner)
+        elif comp == "bz2":
+            payload = bz2.compress(inner)
+        else:
+            payload = inner
+        ch = _pack_header({"op": b"\x05", "compression": comp.encode(),
                            "size": struct.pack("<I", len(inner))})
-        self._write_record(ch, inner)
+        self._write_record(ch, payload)
 
     def _stamp_fields(self, stamp: float) -> bytes:
         sec = int(stamp)

@@ -174,14 +174,28 @@ class _GnCarry(NamedTuple):
 
 
 def run_gauss_newton(sharp: PointSet, flat: PointSet, last_corner: PointSet,
-                     last_surf: PointSet, tf0: Array, cfg: LoamConfig) -> Array:
-    """The <=25-iteration GN alignment; returns the refined transform."""
+                     last_surf: PointSet, tf0: Array, cfg: LoamConfig,
+                     static_schedule: bool = False) -> Array:
+    """The <=25-iteration GN alignment; returns the refined transform.
+
+    static_schedule=True replaces the dynamic while_loop + per-iteration
+    refresh ``lax.cond`` with a fixed phase structure (scan over
+    refresh phases, fori over cached-fit iterations). Semantically
+    equivalent (early abort becomes masked freezing), but crucial under
+    ``vmap``: a batched ``lax.cond`` lowers to executing BOTH branches,
+    so the dynamic form pays the full correspondence search every
+    iteration in batched replay (round-1 BENCH: batch-8 ran at 0.55x
+    single-stream because of exactly this)."""
     odo = cfg.odometry
     qc = sharp.xyz.shape[0]
     qs = flat.xyz.shape[0]
 
     run = ((last_corner.count() > odo.min_corner_points)
            & (last_surf.count() > odo.min_surface_points))
+
+    if static_schedule:
+        return _run_gn_static(sharp, flat, last_corner, last_surf, tf0,
+                              cfg, run)
 
     def cond(c: _GnCarry):
         return (c.it < odo.max_iterations) & ~c.done & run
@@ -204,52 +218,10 @@ def run_gauss_newton(sharp: PointSet, flat: PointSet, last_corner: PointSet,
         (cj, cl, cvalid, sj, sl, sm_, svalid) = jax.lax.cond(
             refresh, do_refresh, keep_old, None)
 
-        # Corner point-to-line residuals.
-        d_c, dir_c = _line_residual(x_c, last_corner.xyz[cj], last_corner.xyz[cl])
-        s_c = jnp.where(c.it >= odo.corresp_refresh_every,
-                        1.0 - odo.weight_decay * jnp.abs(d_c), 1.0)
-        sel_c = cvalid & (s_c > odo.weight_floor) & (d_c != 0.0)
-        coeff_c = (s_c[:, None] * dir_c) * sel_c[:, None]
-
-        # Surface point-to-plane residuals.
-        d_s, dir_s = _plane_residual(x_s, last_surf.xyz[sj], last_surf.xyz[sl],
-                                     last_surf.xyz[sm_])
-        dist_s = jnp.sqrt(jnp.linalg.norm(x_s, axis=-1))
-        s_s = jnp.where(c.it >= odo.corresp_refresh_every,
-                        1.0 - odo.weight_decay * jnp.abs(d_s)
-                        / jnp.maximum(dist_s, 1e-6), 1.0)
-        sel_s = svalid & (s_s > odo.weight_floor) & (d_s != 0.0)
-        coeff_s = (s_s[:, None] * dir_s) * sel_s[:, None]
-
-        a_c = _jacobian_rows(c.tf, sharp.xyz, coeff_c)
-        a_s = _jacobian_rows(c.tf, flat.xyz, coeff_s)
-        a_rows = jnp.concatenate([a_c, a_s], axis=0)
-        b_vec = jnp.concatenate([
-            -odo.residual_scale * s_c * d_c * sel_c,
-            -odo.residual_scale * s_s * d_s * sel_s,
-        ])
-
-        n_sel = jnp.sum(sel_c) + jnp.sum(sel_s)
-        enough = n_sel >= odo.min_selected
-
-        x, ata = _solve_gn(a_rows, b_vec)
-
-        first = (c.it == 0) & enough
-        mat_p, degenerate = jax.lax.cond(
-            first,
-            lambda: _degeneracy_projector(ata, odo.degeneracy_eigen_threshold),
-            lambda: (c.mat_p, c.degenerate))
-
-        hi = jax.lax.Precision.HIGHEST
-        x = jnp.where(degenerate, jnp.matmul(mat_p, x, precision=hi), x)
-
-        tf_new = c.tf + x
-        tf_new = jnp.where(jnp.isfinite(tf_new), tf_new, 0.0)
-        tf_new = jnp.where(enough, tf_new, c.tf)
-
-        delta_r = jnp.linalg.norm(lm.rad2deg(x[:3]))
-        delta_t = jnp.linalg.norm(x[3:] * 100.0)
-        done = enough & (delta_r < odo.delta_r_abort) & (delta_t < odo.delta_t_abort)
+        tf_new, mat_p, degenerate, done = _gn_iteration(
+            c.tf, c.it, c.mat_p, c.degenerate, x_c, x_s, sharp, flat,
+            last_corner, last_surf, cj, cl, cvalid, sj, sl, sm_, svalid,
+            odo)
 
         return _GnCarry(tf=tf_new, it=c.it + 1,
                         corner_j=cj, corner_l=cl, corner_valid=cvalid,
@@ -273,6 +245,105 @@ def run_gauss_newton(sharp: PointSet, flat: PointSet, last_corner: PointSet,
     return final.tf
 
 
+def _gn_iteration(tf, it, mat_p0, degenerate0, x_c, x_s, sharp, flat,
+                  last_corner, last_surf, cj, cl, cvalid, sj, sl, sm_,
+                  svalid, odo):
+    """One GN update against cached correspondences (shared by the
+    dynamic while_loop and the static phase schedule). Returns
+    (tf_new, mat_p, degenerate, done)."""
+    # Corner point-to-line residuals.
+    d_c, dir_c = _line_residual(x_c, last_corner.xyz[cj], last_corner.xyz[cl])
+    s_c = jnp.where(it >= odo.weight_start_iteration,
+                    1.0 - odo.weight_decay * jnp.abs(d_c), 1.0)
+    sel_c = cvalid & (s_c > odo.weight_floor) & (d_c != 0.0)
+    coeff_c = (s_c[:, None] * dir_c) * sel_c[:, None]
+
+    # Surface point-to-plane residuals.
+    d_s, dir_s = _plane_residual(x_s, last_surf.xyz[sj], last_surf.xyz[sl],
+                                 last_surf.xyz[sm_])
+    dist_s = jnp.sqrt(jnp.linalg.norm(x_s, axis=-1))
+    s_s = jnp.where(it >= odo.weight_start_iteration,
+                    1.0 - odo.weight_decay * jnp.abs(d_s)
+                    / jnp.maximum(dist_s, 1e-6), 1.0)
+    sel_s = svalid & (s_s > odo.weight_floor) & (d_s != 0.0)
+    coeff_s = (s_s[:, None] * dir_s) * sel_s[:, None]
+
+    a_c = _jacobian_rows(tf, sharp.xyz, coeff_c)
+    a_s = _jacobian_rows(tf, flat.xyz, coeff_s)
+    a_rows = jnp.concatenate([a_c, a_s], axis=0)
+    b_vec = jnp.concatenate([
+        -odo.residual_scale * s_c * d_c * sel_c,
+        -odo.residual_scale * s_s * d_s * sel_s,
+    ])
+
+    n_sel = jnp.sum(sel_c) + jnp.sum(sel_s)
+    enough = n_sel >= odo.min_selected
+
+    x, ata = _solve_gn(a_rows, b_vec)
+
+    first = (it == 0) & enough
+    mat_p, degenerate = jax.lax.cond(
+        first,
+        lambda: _degeneracy_projector(ata, odo.degeneracy_eigen_threshold),
+        lambda: (mat_p0, degenerate0))
+
+    hi = jax.lax.Precision.HIGHEST
+    x = jnp.where(degenerate, jnp.matmul(mat_p, x, precision=hi), x)
+
+    tf_new = tf + x
+    tf_new = jnp.where(jnp.isfinite(tf_new), tf_new, 0.0)
+    tf_new = jnp.where(enough, tf_new, tf)
+
+    delta_r = jnp.linalg.norm(lm.rad2deg(x[:3]))
+    delta_t = jnp.linalg.norm(x[3:] * 100.0)
+    done = enough & (delta_r < odo.delta_r_abort) & (delta_t < odo.delta_t_abort)
+    return tf_new, mat_p, degenerate, done
+
+
+def _run_gn_static(sharp: PointSet, flat: PointSet, last_corner: PointSet,
+                   last_surf: PointSet, tf0: Array, cfg: LoamConfig,
+                   run: Array) -> Array:
+    """vmap-safe GN: scan over refresh phases, fori over cached-fit
+    iterations, early abort as masked freezing. No data-dependent
+    ``lax.cond`` anywhere, so batching never duplicates branch work."""
+    odo = cfg.odometry
+    refresh_every = odo.corresp_refresh_every
+    n_phases = -(-odo.max_iterations // refresh_every)
+
+    def phase(carry, phase_idx):
+        tf, mat_p, degenerate, done = carry
+        x_c = lm.transform_to_start(sharp.xyz, sharp.rel, tf)
+        x_s = lm.transform_to_start(flat.xyz, flat.rel, tf)
+        cm = corner_correspondences(x_c, sharp.mask, last_corner)
+        sm = surf_correspondences(x_s, flat.mask, last_surf)
+
+        def inner(j, c):
+            tf, mat_p, degenerate, done = c
+            it = phase_idx * refresh_every + j
+            x_c = lm.transform_to_start(sharp.xyz, sharp.rel, tf)
+            x_s = lm.transform_to_start(flat.xyz, flat.rel, tf)
+            tf_new, mat_p_new, degen_new, done_step = _gn_iteration(
+                tf, it, mat_p, degenerate, x_c, x_s, sharp, flat,
+                last_corner, last_surf, cm.j, cm.l, cm.valid,
+                sm.j, sm.l, sm.m, sm.valid, odo)
+            active = run & ~done & (it < odo.max_iterations)
+            tf = jnp.where(active, tf_new, tf)
+            mat_p = jnp.where(active, mat_p_new, mat_p)
+            degenerate = jnp.where(active, degen_new, degenerate)
+            done = done | (active & done_step)
+            return (tf, mat_p, degenerate, done)
+
+        carry = jax.lax.fori_loop(0, refresh_every, inner,
+                                  (tf, mat_p, degenerate, done))
+        return carry, None
+
+    init = (tf0, jnp.eye(6, dtype=jnp.float32), jnp.zeros((), bool),
+            jnp.zeros((), bool))
+    (tf, _, _, _), _ = jax.lax.scan(phase, init,
+                                    jnp.arange(n_phases, dtype=jnp.int32))
+    return tf
+
+
 def _transform_to_end_cloud(ps: PointSet, tf: Array,
                             imu: ImuSweepState) -> PointSet:
     xyz = lm.transform_to_end(ps.xyz, ps.rel, tf,
@@ -284,7 +355,8 @@ def _transform_to_end_cloud(ps: PointSet, tf: Array,
 
 
 def step(state: OdometryState, feats: SweepFeatures, cfg: LoamConfig,
-         imu: Optional[ImuSweepState] = None
+         imu: Optional[ImuSweepState] = None,
+         static_schedule: bool = False
          ) -> Tuple[OdometryState, OdometryOutputs]:
     """One sweep of odometry (reference BasicLaserOdometry::process)."""
     if imu is None:
@@ -312,7 +384,8 @@ def step(state: OdometryState, feats: SweepFeatures, cfg: LoamConfig,
             -imu.velo_from_start * cfg.registration.scan_period)
 
         tf = run_gauss_newton(feats.sharp, feats.flat, state.last_corner,
-                              state.last_surf, tf0, cfg)
+                              state.last_surf, tf0, cfg,
+                              static_schedule=static_schedule)
 
         # Fold the (negated) relative motion into the global pose with the
         # 1.05 drift fudges (reference :626-649).

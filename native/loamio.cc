@@ -12,11 +12,14 @@
 // Build: g++ -O2 -shared -fPIC -o libloamio.so loamio.cc [-lbz2]
 //
 // Supported:
-//   * rosbag v2.0: uncompressed and bz2 chunks (lz4 chunks are
-//     reported as unsupported), sensor_msgs/PointCloud2 and
-//     sensor_msgs/Imu messages, topic- or type-matched.
-//   * Velodyne PCAP: VLP-16 single-return packets (1206-byte payloads),
-//     azimuth-rollover sweep segmentation, per-point relative time.
+//   * rosbag v2.0: uncompressed, bz2 (when bzlib.h is present) and lz4
+//     chunks (LZ4 frame via dlopen of the system liblz4 — no dev
+//     headers needed), sensor_msgs/PointCloud2 and sensor_msgs/Imu
+//     messages; exact-topic connection binding with single-connection
+//     type fallback.
+//   * Velodyne PCAP: VLP-16 / HDL-32E / HDL-64E single-return packets
+//     (1206-byte payloads, model auto-detected), azimuth-rollover
+//     sweep segmentation, per-point relative time.
 //   * PCD v0.7 binary write (x y z [intensity]).
 
 #include <cmath>
@@ -24,6 +27,7 @@
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
+#include <dlfcn.h>
 #include <map>
 #include <string>
 #include <vector>
@@ -36,6 +40,70 @@
 #endif
 
 namespace {
+
+// ---------------------------------------------------------------------------
+// LZ4 frame decompression through dlopen (liblz4.so.1 ships without
+// headers in this image; mirror of io/lz4f.py).
+// ---------------------------------------------------------------------------
+struct Lz4Api {
+  void* handle = nullptr;
+  unsigned (*isError)(size_t) = nullptr;
+  size_t (*createCtx)(void**, unsigned) = nullptr;
+  size_t (*freeCtx)(void*) = nullptr;
+  size_t (*decompress)(void*, void*, size_t*, const void*, size_t*,
+                       const void*) = nullptr;
+  bool ok = false;
+};
+
+const Lz4Api& lz4_api() {
+  static Lz4Api api = [] {
+    Lz4Api a;
+    for (const char* name : {"liblz4.so.1", "liblz4.so"}) {
+      a.handle = dlopen(name, RTLD_NOW | RTLD_LOCAL);
+      if (a.handle) break;
+    }
+    if (!a.handle) return a;
+    a.isError = (unsigned (*)(size_t))dlsym(a.handle, "LZ4F_isError");
+    a.createCtx = (size_t (*)(void**, unsigned))dlsym(
+        a.handle, "LZ4F_createDecompressionContext");
+    a.freeCtx = (size_t (*)(void*))dlsym(a.handle,
+                                         "LZ4F_freeDecompressionContext");
+    a.decompress = (size_t (*)(void*, void*, size_t*, const void*, size_t*,
+                               const void*))dlsym(a.handle,
+                                                  "LZ4F_decompress");
+    a.ok = a.isError && a.createCtx && a.freeCtx && a.decompress;
+    return a;
+  }();
+  return api;
+}
+
+bool lz4_frame_decompress(const uint8_t* src, size_t src_len,
+                          size_t expected, std::vector<uint8_t>* out) {
+  const Lz4Api& a = lz4_api();
+  if (!a.ok) return false;
+  void* ctx = nullptr;
+  if (a.isError(a.createCtx(&ctx, 100))) return false;
+  out->clear();
+  out->reserve(expected ? expected : src_len * 3);
+  std::vector<uint8_t> dst(expected ? expected : (size_t)(64 * 1024));
+  size_t off = 0;
+  bool good = true;
+  while (off < src_len) {
+    size_t ssz = src_len - off;
+    size_t dsz = dst.size();
+    size_t hint = a.decompress(ctx, dst.data(), &dsz, src + off, &ssz,
+                               nullptr);
+    if (a.isError(hint)) {
+      good = false;
+      break;
+    }
+    out->insert(out->end(), dst.data(), dst.data() + dsz);
+    off += ssz;
+    if (hint == 0 && ssz == 0) break;
+  }
+  a.freeCtx(ctx);
+  return good;
+}
 
 // ---------------------------------------------------------------------------
 // Little-endian readers
@@ -101,7 +169,11 @@ struct BagReader {
   std::vector<uint8_t> chunk;
   size_t chunk_off = 0;
   bool in_chunk = false;
-  std::map<uint32_t, int> conn_kind;  // 1=cloud, 2=imu, 0=other
+  // Single-connection stream binding: exact topic match wins; the
+  // message-type fallback binds only while no exact match exists and
+  // only to ONE connection (first seen). Mirrors io/rosbag.py.
+  int64_t cloud_conn = -1, imu_conn = -1;
+  bool cloud_exact = false, imu_exact = false;
   // current message
   int cur_kind = 0;
   CloudMsg cloud;
@@ -221,6 +293,88 @@ int next_from_buffer(BagReader* br) {
   return 0;
 }
 
+void register_connection(BagReader* br,
+                         std::map<std::string, std::vector<uint8_t>>& hdr,
+                         const uint8_t* data, size_t dlen) {
+  uint32_t conn = rd_u32(hdr["conn"].data());
+  std::string topic(hdr["topic"].begin(), hdr["topic"].end());
+  // the data section is another header block with the msg type
+  std::map<std::string, std::vector<uint8_t>> ch;
+  parse_header_fields(data, dlen, &ch);
+  std::string type(ch["type"].begin(), ch["type"].end());
+  if (topic == br->cloud_topic) {
+    br->cloud_conn = conn;
+    br->cloud_exact = true;
+  } else if (!br->cloud_exact && br->cloud_conn < 0 &&
+             type == "sensor_msgs/PointCloud2") {
+    br->cloud_conn = conn;
+  }
+  if (topic == br->imu_topic) {
+    br->imu_conn = conn;
+    br->imu_exact = true;
+  } else if (!br->imu_exact && br->imu_conn < 0 &&
+             type == "sensor_msgs/Imu") {
+    br->imu_conn = conn;
+  }
+}
+
+// Prescan pass (mirrors io/rosbag.py::_prescan_connections): register
+// every connection record reachable without decompression — top-level
+// records plus the contents of uncompressed chunks. `rosbag record`
+// repeats all connection records at top level after the chunk section,
+// so compressed bags are covered too. Leaves the file positioned after
+// the magic line.
+void prescan_connections(BagReader* br) {
+  for (;;) {
+    uint8_t lenbuf[4];
+    if (!read_exact(br->f, lenbuf, 4)) break;  // EOF
+    uint32_t hlen = rd_u32(lenbuf);
+    std::vector<uint8_t> hbuf(hlen);
+    if (!read_exact(br->f, hbuf.data(), hlen)) break;
+    if (!read_exact(br->f, lenbuf, 4)) break;
+    uint32_t dlen = rd_u32(lenbuf);
+    std::map<std::string, std::vector<uint8_t>> hdr;
+    bool parsed = parse_header_fields(hbuf.data(), hlen, &hdr);
+    uint8_t op = 0;
+    if (parsed && hdr.count("op") && !hdr["op"].empty()) op = hdr["op"][0];
+    bool want_data = false;
+    std::string comp;
+    if (op == 0x07) {
+      want_data = true;
+    } else if (op == 0x05) {
+      comp.assign(hdr["compression"].begin(), hdr["compression"].end());
+      want_data = (comp == "none");
+    }
+    if (!want_data) {
+      if (std::fseek(br->f, (long)dlen, SEEK_CUR) != 0) break;
+      continue;
+    }
+    std::vector<uint8_t> dbuf(dlen);
+    if (!read_exact(br->f, dbuf.data(), dlen)) break;
+    if (op == 0x07) {
+      register_connection(br, hdr, dbuf.data(), dlen);
+    } else {
+      // walk nested records of the uncompressed chunk
+      size_t off = 0;
+      while (off + 4 <= dbuf.size()) {
+        uint32_t h2 = rd_u32(dbuf.data() + off);
+        size_t ho = off + 4;
+        if (ho + h2 + 4 > dbuf.size()) break;
+        uint32_t d2 = rd_u32(dbuf.data() + ho + h2);
+        size_t dof = ho + h2 + 4;
+        if (dof + d2 > dbuf.size()) break;
+        std::map<std::string, std::vector<uint8_t>> nh;
+        if (parse_header_fields(dbuf.data() + ho, h2, &nh) &&
+            nh.count("op") && !nh["op"].empty() && nh["op"][0] == 0x07) {
+          register_connection(br, nh, dbuf.data() + dof, d2);
+        }
+        off = dof + d2;
+      }
+    }
+  }
+  std::fseek(br->f, 13, SEEK_SET);
+}
+
 int handle_record(BagReader* br,
                   std::map<std::string, std::vector<uint8_t>>& hdr,
                   const uint8_t* data, size_t dlen) {
@@ -228,23 +382,14 @@ int handle_record(BagReader* br,
   if (it == hdr.end() || it->second.empty()) return 0;
   uint8_t op = it->second[0];
   if (op == 0x07) {  // connection
-    uint32_t conn = rd_u32(hdr["conn"].data());
-    std::string topic(hdr["topic"].begin(), hdr["topic"].end());
-    // the data section is another header block with the msg type
-    std::map<std::string, std::vector<uint8_t>> ch;
-    parse_header_fields(data, dlen, &ch);
-    std::string type(ch["type"].begin(), ch["type"].end());
-    int kind = 0;
-    if (topic == br->cloud_topic || type == "sensor_msgs/PointCloud2")
-      kind = 1;
-    else if (topic == br->imu_topic || type == "sensor_msgs/Imu")
-      kind = 2;
-    br->conn_kind[conn] = kind;
+    register_connection(br, hdr, data, dlen);
     return 0;
   }
   if (op == 0x02) {  // message data
     uint32_t conn = rd_u32(hdr["conn"].data());
-    int kind = br->conn_kind.count(conn) ? br->conn_kind[conn] : 0;
+    int kind = 0;
+    if ((int64_t)conn == br->cloud_conn) kind = 1;
+    else if ((int64_t)conn == br->imu_conn) kind = 2;
     if (kind == 1 && parse_pointcloud2(data, dlen, &br->cloud)) {
       br->cur_kind = 1;
       return 1;
@@ -277,6 +422,16 @@ int handle_record(BagReader* br,
       br->error = "bag uses bz2 chunks but libbz2 was not available";
       return 0;
 #endif
+    } else if (comp == "lz4") {
+      uint32_t raw_size =
+          hdr.count("size") ? rd_u32(hdr["size"].data()) : 0;
+      if (!lz4_frame_decompress(data, dlen, raw_size, &br->chunk)) {
+        br->error = lz4_api().ok ? "lz4 decompression failed"
+                                 : "bag uses lz4 chunks but liblz4 was"
+                                   " not available";
+        br->chunk.clear();
+        return 0;
+      }
     } else {
       br->error = "unsupported chunk compression: " + comp;
       return 0;
@@ -316,6 +471,7 @@ int bag_advance(BagReader* br) {
 struct PcapReader {
   FILE* f = nullptr;
   bool swapped = false;
+  int model = 0;  // PcapModel, auto-detected from the first payload
   // carry of points for the sweep being assembled
   std::vector<float> xyz;
   std::vector<float> rel;
@@ -327,6 +483,30 @@ struct PcapReader {
 const double kVlp16Elev[16] = {-15, 1, -13, 3, -11, 5, -9, 7,
                                -7,  9, -5,  11, -3, 13, -1, 15};
 
+// HDL-32E interleaved elevation table (datasheet order).
+const double kHdl32Elev[32] = {
+    -30.67, -9.33, -29.33, -8.00, -28.00, -6.66, -26.66, -5.33,
+    -25.33, -4.00, -24.00, -2.67, -22.67, -1.33, -21.33, 0.00,
+    -20.00, 1.33,  -18.67, 2.67,  -17.33, 4.00,  -16.00, 5.33,
+    -14.67, 6.67,  -13.33, 8.00,  -12.00, 9.33,  -10.67, 10.67};
+
+// Nominal HDL-64E bank tables (no per-unit calibration available;
+// evenly spaced like io/pcap.py — fine for ring binning).
+double hdl64_upper_elev(int ch) { return 2.0 + ch * (-8.33 - 2.0) / 31.0; }
+double hdl64_lower_elev(int ch) { return -8.83 + ch * (-24.33 + 8.83) / 31.0; }
+
+// Sensor model ids (mirrors io/pcap.py::detect_model).
+enum PcapModel { MODEL_UNKNOWN = 0, MODEL_VLP16, MODEL_HDL32, MODEL_HDL64 };
+
+int detect_model(const uint8_t* p) {
+  for (int b = 0; b < 12; b++) {
+    if (rd_u16(p + b * 100) == 0xddff) return MODEL_HDL64;
+  }
+  uint8_t pid = p[1205];
+  if (pid == 0x21) return MODEL_HDL32;
+  return MODEL_VLP16;
+}
+
 uint32_t swap32(uint32_t v) {
   return ((v & 0xff) << 24) | ((v & 0xff00) << 8) | ((v >> 8) & 0xff00) |
          (v >> 24);
@@ -334,35 +514,56 @@ uint32_t swap32(uint32_t v) {
 
 // Decode one 1206-byte data payload; appends points + azimuth fractions.
 // Returns the azimuth (deg) of the first block.
-void decode_vlp16(PcapReader* pr, const uint8_t* p,
-                  std::vector<float>* out_xyz, std::vector<double>* out_az) {
+inline void emit_point(double d, double el_deg, double az,
+                       std::vector<float>* out_xyz,
+                       std::vector<double>* out_az) {
+  double az_rad = az * M_PI / 180.0;
+  double el = el_deg * M_PI / 180.0;
+  double ce = std::cos(el);
+  // sensor frame: x forward, y left, z up; azimuth clockwise
+  out_xyz->push_back((float)(d * ce * std::cos(az_rad)));
+  out_xyz->push_back((float)(-d * ce * std::sin(az_rad)));
+  out_xyz->push_back((float)(d * std::sin(el)));
+  out_az->push_back(az);
+}
+
+void decode_packet(int model, const uint8_t* p, std::vector<float>* out_xyz,
+                   std::vector<double>* out_az) {
   for (int b = 0; b < 12; b++) {
     const uint8_t* blk = p + b * 100;
-    if (rd_u16(blk) != 0xeeff) continue;
+    uint16_t flag = rd_u16(blk);
+    if (flag != 0xeeff && flag != 0xddff) continue;
     double az0 = rd_u16(blk + 2) / 100.0;
-    // azimuth of the next block (for interpolation of firing 2)
-    double az1 = az0;
-    if (b + 1 < 12) {
-      az1 = rd_u16(p + (b + 1) * 100 + 2) / 100.0;
-      if (az1 < az0) az1 += 360.0;
-    } else {
-      az1 = az0 + 0.4;  // nominal 2-firing advance at 600 rpm
-    }
-    for (int firing = 0; firing < 2; firing++) {
-      double az = az0 + (az1 - az0) * 0.5 * firing;
-      double az_rad = az * M_PI / 180.0;
-      for (int ch = 0; ch < 16; ch++) {
-        const uint8_t* rec = blk + 4 + (firing * 16 + ch) * 3;
-        uint16_t raw = rd_u16(rec);
+    if (model == MODEL_VLP16) {
+      // azimuth of the next block (for interpolation of firing 2)
+      double az1 = az0;
+      if (b + 1 < 12) {
+        az1 = rd_u16(p + (b + 1) * 100 + 2) / 100.0;
+        if (az1 < az0) az1 += 360.0;
+      } else {
+        az1 = az0 + 0.4;  // nominal 2-firing advance at 600 rpm
+      }
+      for (int firing = 0; firing < 2; firing++) {
+        double az = az0 + (az1 - az0) * 0.5 * firing;
+        for (int ch = 0; ch < 16; ch++) {
+          uint16_t raw = rd_u16(blk + 4 + (firing * 16 + ch) * 3);
+          if (raw == 0) continue;
+          emit_point(raw * 0.002, kVlp16Elev[ch], az, out_xyz, out_az);
+        }
+      }
+    } else if (model == MODEL_HDL32) {
+      for (int ch = 0; ch < 32; ch++) {
+        uint16_t raw = rd_u16(blk + 4 + ch * 3);
         if (raw == 0) continue;
-        double d = raw * 0.002;
-        double el = kVlp16Elev[ch] * M_PI / 180.0;
-        double ce = std::cos(el);
-        // sensor frame: x forward, y left, z up; azimuth clockwise
-        out_xyz->push_back((float)(d * ce * std::cos(az_rad)));
-        out_xyz->push_back((float)(-d * ce * std::sin(az_rad)));
-        out_xyz->push_back((float)(d * std::sin(el)));
-        out_az->push_back(az);
+        emit_point(raw * 0.002, kHdl32Elev[ch], az0, out_xyz, out_az);
+      }
+    } else {  // HDL-64E: bank selected by the block flag
+      for (int ch = 0; ch < 32; ch++) {
+        uint16_t raw = rd_u16(blk + 4 + ch * 3);
+        if (raw == 0) continue;
+        double el = flag == 0xeeff ? hdl64_upper_elev(ch)
+                                   : hdl64_lower_elev(ch);
+        emit_point(raw * 0.002, el, az0, out_xyz, out_az);
       }
     }
   }
@@ -389,6 +590,7 @@ void* loam_bag_open(const char* path, const char* cloud_topic,
   br->f = f;
   br->cloud_topic = cloud_topic ? cloud_topic : "";
   br->imu_topic = imu_topic ? imu_topic : "";
+  prescan_connections(br);
   return br;
 }
 
@@ -478,9 +680,10 @@ long loam_pcap_next_sweep(void* h, float* out_xyz, float* out_rel,
     // strip ethernet(14)+ip(20)+udp(8) = 42-byte header
     if (incl < 42 + 1206) continue;
     const uint8_t* payload = data.data() + 42;
+    if (pr->model == MODEL_UNKNOWN) pr->model = detect_model(payload);
     pkt_xyz.clear();
     pkt_az.clear();
-    decode_vlp16(pr, payload, &pkt_xyz, &pkt_az);
+    decode_packet(pr->model, payload, &pkt_xyz, &pkt_az);
 
     for (size_t i = 0; i < pkt_az.size(); i++) {
       double az = pkt_az[i];

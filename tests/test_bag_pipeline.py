@@ -30,3 +30,34 @@ def test_bag_replay_with_imu(tmp_path):
     est = drv.run_bag(path, native=False)
     assert len(est) == 5
     assert ate_rmse(est, gt[:5], align=True) < 0.15
+
+
+@pytest.mark.slow
+def test_run_bag_resume_skips_processed(tmp_path):
+    """Crash-resume against the same bag: run_bag after resume() skips
+    the already-consumed cloud messages (ADVICE round 1: previously the
+    restored state was re-fed the whole bag)."""
+    sweeps, _, _ = synthetic.generate_sequence(6, n_azimuth=600)
+    full = str(tmp_path / "full.bag")
+    first3 = str(tmp_path / "first3.bag")
+    for path, sel in ((full, sweeps), (first3, sweeps[:3])):
+        with BagWriter(path) as w:
+            for k, pts in enumerate(sel):
+                w.write_cloud("/velodyne_points", 1000.0 + 0.1 * k, pts)
+
+    cfg = LoamConfig.preset("VLP-16")
+    ref = LoamDriver(cfg, system_delay=0)
+    ref.run_bag(full, native=False)
+
+    ckpt = str(tmp_path / "ck.npz")
+    drv = LoamDriver(cfg, system_delay=0, checkpoint_path=ckpt,
+                     checkpoint_every=1)
+    drv.run_bag(first3, native=False)   # "crash" after 3 sweeps
+
+    drv2 = LoamDriver(cfg, system_delay=0, checkpoint_path=ckpt)
+    assert drv2.resume()
+    assert drv2.resumed_sweeps == 3
+    drv2.run_bag(full, native=False)    # re-fed from the start
+    assert len(drv2.trajectory) == 3
+    np.testing.assert_allclose(np.stack(drv2.trajectory),
+                               np.stack(ref.trajectory[3:]), atol=1e-5)
