@@ -40,6 +40,9 @@ class EngineState(NamedTuple):
     mapping: mapping_mod.MappingState
     fusion: fusion_mod.FusionState
     sweep: Array     # () int32 processed-sweep counter
+    # () int32 — feature bundles forwarded to mapping so far (drives the
+    # stackFrameNum gate, reference BasicLaserMapping.cpp:268-276).
+    mapping_inputs: Array
 
     @staticmethod
     def create(cfg: LoamConfig) -> "EngineState":
@@ -48,7 +51,17 @@ class EngineState(NamedTuple):
             mapping=mapping_mod.MappingState.create(cfg),
             fusion=fusion_mod.FusionState.create(),
             sweep=jnp.zeros((), jnp.int32),
+            mapping_inputs=jnp.zeros((), jnp.int32),
         )
+
+
+class Telemetry(NamedTuple):
+    """Per-sweep overflow/shed counters (SURVEY §5: the reference never
+    drops data; every fixed-capacity boundary here reports its losses)."""
+
+    ingest_dropped: Array    # () int32 — ring-row capacity
+    feature_dropped: Array   # () int32 — less-flat pool/voxel capacity
+    mapping: mapping_mod.MapTelemetry
 
 
 class EngineOutputs(NamedTuple):
@@ -56,13 +69,33 @@ class EngineOutputs(NamedTuple):
     mapped_pose: Array    # (6,) latest refined pose (/aft_mapped_to_init)
     fused_pose: Array     # (6,) integrated pose (/integrated_to_init)
     mapping_ran: Array    # () bool — whether mapping ran this sweep
+    surround_due: Array   # () bool — surround-map publish frame
+    #   (reference createDownsizedMap every _mapFrameNum=5 mapping
+    #    frames, BasicLaserMapping.cpp:242-264; the driver assembles the
+    #    actual cloud on demand when this fires)
+    telemetry: Telemetry
 
 
 def step(state: EngineState, raw: scan_mod.RawSweep, cfg: LoamConfig,
-         imu_window=None) -> Tuple[EngineState, EngineOutputs]:
+         imu_window=None, mapping_mode: str = "auto",
+         static_schedule: bool = False
+         ) -> Tuple[EngineState, EngineOutputs]:
     """Process one sweep through registration, odometry, mapping (on its
     cadence) and fusion. imu_window: optional ops.imu.ImuWindow with
-    timestamps relative to this sweep's start."""
+    timestamps relative to this sweep's start.
+
+    mapping_mode selects how the mapping cadence is expressed:
+      - "auto": runtime ``lax.cond`` on the ioRatio/stackFrameNum gate
+        (exact; right for per-sweep and single-stream dispatch, where a
+        scalar-predicate cond executes one branch).
+      - "on"/"off": the caller has scheduled the cadence STATICALLY
+        (run_chunk with static_cadence) — no cond, so a vmapped batch
+        doesn't execute both branches every sweep. "on" still assumes
+        odometry is initialized (guaranteed when replay starts from
+        sweep 0 and io_ratio >= 2; see run_chunk).
+    static_schedule: use the fixed GN phase schedules (vmap-safe) in
+    odometry and mapping instead of dynamic while_loop + refresh conds.
+    """
     grid, full = scan_mod.ingest_sweep(raw, cfg.lidar, cfg.registration,
                                        imu_window)
     feats = extract_features(grid, cfg.registration, cfg.capacities)
@@ -71,61 +104,143 @@ def step(state: EngineState, raw: scan_mod.RawSweep, cfg: LoamConfig,
         from loam_velodyne_tpu.ops import imu as imu_ops
         imu_state = imu_ops.sweep_state(imu_window,
                                         cfg.registration.scan_period)
-        imu_rpy_blend = (imu_ops.interpolate(imu_window,
-                                             jnp.zeros((), jnp.float32))[0],
+        # Mapping blends roll/pitch from the IMU history interpolated at
+        # the sweep END (laserOdometryTime + scanPeriod, reference
+        # BasicLaserMapping.cpp:171-195), not the sweep start.
+        end_t = jnp.float32(cfg.registration.scan_period)
+        imu_rpy_blend = (imu_ops.interpolate(imu_window, end_t)[0],
                          imu_ops.has_data(imu_window))
     else:
         imu_state = None
         imu_rpy_blend = None
 
-    ostate, oouts = odometry_mod.step(state.odometry, feats, cfg, imu_state)
+    ostate, oouts = odometry_mod.step(state.odometry, feats, cfg, imu_state,
+                                      static_schedule=static_schedule)
 
     # Mapping cadence: the reference odometry forwards clouds on frames
-    # where frameCount % ioRatio == 1 (LaserOdometry.cpp:320), and never
-    # on the init frame.
+    # where frameCount % ioRatio == 1 (LaserOdometry.cpp:320), never on
+    # the init frame; mapping additionally processes only every
+    # stackFrameNum-th received bundle (BasicLaserMapping.cpp:268-276,
+    # first bundle included — _frameCount starts at stackFrameNum-1).
     io_ratio = cfg.odometry.io_ratio
-    mapping_due = ((io_ratio < 2)
-                   | (jnp.mod(state.sweep, io_ratio) == 1)) & state.odometry.initialized
+    mapping_input = ((io_ratio < 2)
+                     | (jnp.mod(state.sweep, io_ratio) == 1)) & state.odometry.initialized
+    stack_num = cfg.mapping.stack_frame_num
+    mapping_due = mapping_input & (
+        (stack_num < 2) | (jnp.mod(state.mapping_inputs, stack_num) == 0))
 
     def run_mapping(_):
         mstate, mouts = mapping_mod.step(
             state.mapping, oouts.transform_sum, oouts.corner_cloud,
-            oouts.surf_cloud, cfg, imu_rpy_blend)
+            oouts.surf_cloud, cfg, imu_rpy_blend,
+            static_schedule=static_schedule)
         fstate = fusion_mod.update_mapping(state.fusion, mouts.transform_aft,
                                            mouts.transform_bef)
-        return mstate, fstate
+        return mstate, fstate, mouts.surround_due, mouts.telemetry
 
     def skip_mapping(_):
-        return state.mapping, state.fusion
+        return (state.mapping, state.fusion, jnp.zeros((), bool),
+                mapping_mod.MapTelemetry.zero())
 
-    mstate, fstate = jax.lax.cond(mapping_due, run_mapping, skip_mapping, None)
+    if mapping_mode == "on":
+        mstate, fstate, surround_due, map_tel = run_mapping(None)
+        mapping_due = jnp.ones((), bool)
+    elif mapping_mode == "off":
+        mstate, fstate, surround_due, map_tel = skip_mapping(None)
+        mapping_due = jnp.zeros((), bool)
+    else:
+        mstate, fstate, surround_due, map_tel = jax.lax.cond(
+            mapping_due, run_mapping, skip_mapping, None)
 
     fused = fusion_mod.fuse(fstate, oouts.transform_sum)
 
-    new_state = EngineState(odometry=ostate, mapping=mstate, fusion=fstate,
-                            sweep=state.sweep + 1)
+    new_state = EngineState(
+        odometry=ostate, mapping=mstate, fusion=fstate,
+        sweep=state.sweep + 1,
+        mapping_inputs=state.mapping_inputs + mapping_input.astype(jnp.int32))
     outs = EngineOutputs(odom_pose=oouts.transform_sum,
                          mapped_pose=fstate.transform_aft,
                          fused_pose=fused,
-                         mapping_ran=mapping_due)
+                         mapping_ran=mapping_due,
+                         surround_due=surround_due,
+                         telemetry=Telemetry(ingest_dropped=grid.dropped,
+                                             feature_dropped=feats.dropped,
+                                             mapping=map_tel))
     return new_state, outs
 
 
-def run_chunk(state: EngineState, raws: scan_mod.RawSweep, cfg: LoamConfig
+def run_chunk(state: EngineState, raws: scan_mod.RawSweep, cfg: LoamConfig,
+              imu_windows=None, static_cadence: bool = False
               ) -> Tuple[EngineState, EngineOutputs]:
     """Process K sweeps in one device call via lax.scan.
 
     raws: RawSweep with leading time axis (K, N, 3)/(K, N). Amortizes
     host->device dispatch over K sweeps — the throughput mode for
     offline replay (the per-sweep mode exists for live/latency use).
-    Returns stacked outputs with leading axis K.
+    imu_windows: optional ops.imu.ImuWindow with a leading K axis (each
+    row's timestamps relative to its sweep's start), so IMU-equipped
+    replay keeps the throughput path (hector launch case,
+    hector_loam_velodyne.launch:11). Returns stacked outputs (K, ...).
+
+    static_cadence=True expresses the mapping cadence in the PROGRAM
+    instead of a runtime cond: the chunk is scanned in groups of
+    io_ratio sweeps with mapping compiled in only at the cadence
+    position, and the GN loops use their fixed phase schedules. This is
+    the vmap-safe form batched replay must use (a vmapped lax.cond
+    executes BOTH branches — round 1's batched replay paid mapping
+    every sweep). Requirements (asserted): K % io_ratio == 0, replay
+    starts at an io_ratio boundary from sweep 0 (so the in-chunk
+    position determines the cadence), stack_frame_num == 1, and
+    io_ratio >= 2 (so the init sweep never lands on a mapping slot).
     """
 
-    def body(carry, raw):
-        new_state, outs = step(carry, raw, cfg)
-        return new_state, outs
+    if static_cadence:
+        io = cfg.odometry.io_ratio
+        k = raws.xyz.shape[0]
+        assert io >= 2, "static_cadence requires io_ratio >= 2"
+        assert cfg.mapping.stack_frame_num == 1, \
+            "static_cadence requires stack_frame_num == 1"
+        assert k % io == 0, f"chunk length {k} not a multiple of io_ratio {io}"
 
-    return jax.lax.scan(body, state, raws)
+        def group(x):
+            return jax.tree_util.tree_map(
+                lambda a: a.reshape((k // io, io) + a.shape[1:]), x)
+
+        def ungroup(x):
+            return jax.tree_util.tree_map(
+                lambda a: a.reshape((k,) + a.shape[2:]), x)
+
+        xs = (group(raws),) if imu_windows is None \
+            else (group(raws), group(imu_windows))
+
+        def body(carry, grp):
+            outs = []
+            for j in range(io):
+                raw_j = jax.tree_util.tree_map(lambda a: a[j], grp[0])
+                win_j = None if imu_windows is None else \
+                    jax.tree_util.tree_map(lambda a: a[j], grp[1])
+                mode = "on" if j == 1 else "off"
+                carry, o = step(carry, raw_j, cfg, win_j,
+                                mapping_mode=mode, static_schedule=True)
+                outs.append(o)
+            stacked = jax.tree_util.tree_map(
+                lambda *ys: jnp.stack(ys), *outs)
+            return carry, stacked
+
+        state, outs = jax.lax.scan(body, state, xs)
+        return state, ungroup(outs)
+
+    if imu_windows is None:
+        def body(carry, raw):
+            return step(carry, raw, cfg)
+
+        return jax.lax.scan(body, state, raws)
+
+    def body_imu(carry, xs):
+        raw, win = xs
+        return step(carry, raw, cfg, win)
+
+    return jax.lax.scan(body_imu, state, (raws, imu_windows))
 
 
 def registered_cloud(state: EngineState, raw: scan_mod.RawSweep,

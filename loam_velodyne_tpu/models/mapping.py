@@ -56,6 +56,9 @@ class MappingState(NamedTuple):
     transform_tobe: Array  # (6,) pose being optimized
     transform_aft: Array   # (6,) last mapped pose
     transform_bef: Array   # (6,) odometry pose at last mapping update
+    map_frame: Array       # () int32 processed-mapping-frame counter
+    #   (drives the surround-map cadence, reference _mapFrameCount,
+    #    BasicLaserMapping.cpp:54,242-264)
 
     @staticmethod
     def create(cfg: LoamConfig) -> "MappingState":
@@ -71,12 +74,33 @@ class MappingState(NamedTuple):
             transform_tobe=lm.identity_pose(),
             transform_aft=lm.identity_pose(),
             transform_bef=lm.identity_pose(),
+            map_frame=jnp.zeros((), jnp.int32),
         )
+
+
+class MapTelemetry(NamedTuple):
+    """Per-frame overflow/shed counters (all () int32). The reference's
+    push_back-based map never drops points (BasicLaserMapping.cpp:536-577);
+    every fixed-capacity boundary here reports what it shed so capacity
+    regressions are visible instead of silent."""
+
+    stack_corner_dropped: Array   # corner stack voxel cells over capacity
+    stack_surf_dropped: Array
+    cube_corner_dropped: Array    # insert drops: slab-full + out-of-window
+    cube_surf_dropped: Array
+    active_cube_deficit: Array    # FOV-valid cubes beyond the active budget
+
+    @staticmethod
+    def zero() -> "MapTelemetry":
+        z = jnp.zeros((), jnp.int32)
+        return MapTelemetry(z, z, z, z, z)
 
 
 class MappingOutputs(NamedTuple):
     transform_aft: Array   # (6,) refined pose (/aft_mapped_to_init)
     transform_bef: Array   # (6,) odometry pose this refinement used
+    surround_due: Array    # () bool — surround-map publish frame
+    telemetry: MapTelemetry
 
 
 def _dims(m: MappingConfig) -> jnp.ndarray:
@@ -231,7 +255,9 @@ def insert_into_local_slabs(local_xyz: Array, local_cnt: Array, pts: Array,
     return always lands within +-(r) cubes of the sensor for ranges
     < r*cube_size; the reference can keep farther points,
     BasicLaserMapping.cpp:536-577 — divergence noted).
-    Returns (slabs, counts, received).
+    Returns (slabs, counts, received, dropped) where dropped is the
+    () int32 count of valid input points NOT stored (outside the
+    neighborhood/window or slab at capacity).
     """
     l, cap, _ = local_xyz.shape
     side = 2 * m.neighborhood + 1
@@ -265,7 +291,8 @@ def insert_into_local_slabs(local_xyz: Array, local_cnt: Array, pts: Array,
     added = jnp.zeros((l + 1,), jnp.int32).at[lidx_s].add(
         keep.astype(jnp.int32))
     new_cnt = jnp.minimum(local_cnt + added[:l], cap)
-    return new_xyz, new_cnt, added[:l] > 0
+    dropped = jnp.sum(mask.astype(jnp.int32)) - jnp.sum(keep.astype(jnp.int32))
+    return new_xyz, new_cnt, added[:l] > 0, dropped
 
 
 def downsample_local_slabs(local_xyz: Array, local_cnt: Array, do: Array,
@@ -317,11 +344,22 @@ def downsample_cubes(cube_xyz: Array, cube_cnt: Array, sidx: Array,
     return new_xyz, new_cnt
 
 
-def _select_active(flags: Array, k: int) -> Tuple[Array, Array]:
+def _select_active(flags: Array, k: int,
+                   weight: Optional[Array] = None) -> Tuple[Array, Array]:
     """Pick up to k set positions of a boolean vector; returns
-    (positions (k,), active (k,))."""
+    (positions (k,), active (k,)).
+
+    weight (same shape, >=0) breaks ties among set flags: when more
+    than k flags are set, the k highest-weight ones win. The engine
+    passes cube point counts so the active-cube budget sheds EMPTY
+    FOV-valid cubes first (telemetry round 2 showed ~123 of 125
+    neighborhood cubes pass the FOV test on open scenes — index-order
+    truncation could drop populated cubes while keeping empty ones)."""
     k = min(k, flags.shape[0])
-    score, idx = jax.lax.top_k(flags.astype(jnp.int32), k)
+    score = flags.astype(jnp.int32)
+    if weight is not None:
+        score = score * (1 + jnp.minimum(weight, jnp.int32(2 ** 20)))
+    score, idx = jax.lax.top_k(score, k)
     return idx, score > 0
 
 
@@ -357,7 +395,8 @@ class _OptCarry(NamedTuple):
 def optimize_pose(corner_stack: PointSet, surf_stack: PointSet,
                   map_corner_xyz: Array, map_corner_mask: Array,
                   map_surf_xyz: Array, map_surf_mask: Array,
-                  tobe0: Array, cfg: LoamConfig) -> Array:
+                  tobe0: Array, cfg: LoamConfig,
+                  static_schedule: bool = False) -> Array:
     """The <=10-iteration map-alignment GN
     (reference optimizeTransformTobeMapped, BasicLaserMapping.cpp:626-923).
 
@@ -367,6 +406,11 @@ def optimize_pose(corner_stack: PointSet, surf_stack: PointSet,
     odometry stage, BasicLaserOdometry.cpp:251) — with the pose moving
     sub-centimeter per iteration the cached line/plane geometry is
     equally valid, and the accuracy gate (ATE) confirms parity.
+
+    static_schedule=True swaps the while_loop + refresh-``lax.cond``
+    for a fixed phase schedule (see odometry._run_gn_static): required
+    for efficient batched replay, where a vmapped cond executes BOTH
+    branches and would re-run the windowed 5-NN every iteration.
     """
     m = cfg.mapping
     corner_sorted = sort_cloud(map_corner_xyz, map_corner_mask, axis=2)
@@ -403,22 +447,19 @@ def optimize_pose(corner_stack: PointSet, surf_stack: PointSet,
         return (pa, pb, corner_stack.mask & gate_c & line_ok,
                 normal, dplane, surf_stack.mask & gate_s & plane_ok)
 
-    def body(c: _OptCarry) -> _OptCarry:
-        (pa, pb, cvalid, normal, dplane, svalid) = jax.lax.cond(
-            c.it % m.corresp_refresh_every == 0,
-            lambda: refresh_fits(c.tf),
-            lambda: (c.line_a, c.line_b, c.line_valid,
-                     c.plane_n, c.plane_d, c.plane_valid))
-
+    def iteration(tf, it, mat_p0, degenerate0, pa, pb, cvalid, normal,
+                  dplane, svalid):
+        """One GN update against cached fits; returns
+        (tf_new, mat_p, degenerate, done)."""
         # --- corners: point-to-line residuals against cached fits ---
-        qc = _map_point(c.tf, corner_stack.xyz)
+        qc = _map_point(tf, corner_stack.xyz)
         d_c, dir_c = _line_dist(qc, pa, pb)
         s_c = 1.0 - m.corner_weight_decay * jnp.abs(d_c)
         sel_c = cvalid & (s_c > m.weight_floor)
         coeff_c = (s_c[:, None] * dir_c) * sel_c[:, None]
 
         # --- surfels: point-to-plane residuals against cached fits ---
-        qs = _map_point(c.tf, surf_stack.xyz)
+        qs = _map_point(tf, surf_stack.xyz)
         d_s = jnp.sum(normal * qs, axis=-1) + dplane
         dist_s = jnp.sqrt(jnp.linalg.norm(qs, axis=-1))
         s_s = 1.0 - m.corner_weight_decay * jnp.abs(d_s) \
@@ -427,8 +468,8 @@ def optimize_pose(corner_stack: PointSet, surf_stack: PointSet,
         coeff_s = (s_s[:, None] * normal) * sel_s[:, None]
 
         a_rows = jnp.concatenate([
-            _jacobian_rows(c.tf, corner_stack.xyz, coeff_c),
-            _jacobian_rows(c.tf, surf_stack.xyz, coeff_s)], axis=0)
+            _jacobian_rows(tf, corner_stack.xyz, coeff_c),
+            _jacobian_rows(tf, surf_stack.xyz, coeff_s)], axis=0)
         b_vec = jnp.concatenate([-s_c * d_c * sel_c, -s_s * d_s * sel_s])
 
         n_sel = jnp.sum(sel_c) + jnp.sum(sel_s)
@@ -439,7 +480,7 @@ def optimize_pose(corner_stack: PointSet, surf_stack: PointSet,
         atb = jnp.matmul(a_rows.T, b_vec, precision=hi)
         x = jnp.linalg.solve(ata, atb)
 
-        first = (c.it == 0) & enough
+        first = (it == 0) & enough
 
         def projector():
             w, v = jnp.linalg.eigh(ata)
@@ -448,16 +489,60 @@ def optimize_pose(corner_stack: PointSet, surf_stack: PointSet,
                     jnp.any(keep < 0.5))
 
         mat_p, degenerate = jax.lax.cond(
-            first, projector, lambda: (c.mat_p, c.degenerate))
+            first, projector, lambda: (mat_p0, degenerate0))
         x = jnp.where(degenerate, jnp.matmul(mat_p, x, precision=hi), x)
 
-        tf_new = c.tf + x
+        tf_new = tf + x
         tf_new = jnp.where(jnp.isfinite(tf_new), tf_new, 0.0)
-        tf_new = jnp.where(enough, tf_new, c.tf)
+        tf_new = jnp.where(enough, tf_new, tf)
 
         delta_r = jnp.linalg.norm(lm.rad2deg(x[:3]))
         delta_t = jnp.linalg.norm(x[3:] * 100.0)
-        done = enough & (delta_r < m.delta_r_abort) & (delta_t < m.delta_t_abort)
+        done = enough & (delta_r < m.delta_r_abort) \
+            & (delta_t < m.delta_t_abort)
+        return tf_new, mat_p, degenerate, done
+
+    if static_schedule:
+        refresh_every = m.corresp_refresh_every
+        n_phases = -(-m.max_iterations // refresh_every)
+
+        def phase(carry, phase_idx):
+            tf, mat_p, degenerate, done = carry
+            pa, pb, cvalid, normal, dplane, svalid = refresh_fits(tf)
+
+            def inner(j, c):
+                tf, mat_p, degenerate, done = c
+                it = phase_idx * refresh_every + j
+                tf_new, mat_p_new, degen_new, done_step = iteration(
+                    tf, it, mat_p, degenerate, pa, pb, cvalid, normal,
+                    dplane, svalid)
+                active = run & ~done & (it < m.max_iterations)
+                tf = jnp.where(active, tf_new, tf)
+                mat_p = jnp.where(active, mat_p_new, mat_p)
+                degenerate = jnp.where(active, degen_new, degenerate)
+                done = done | (active & done_step)
+                return (tf, mat_p, degenerate, done)
+
+            carry = jax.lax.fori_loop(0, refresh_every, inner,
+                                      (tf, mat_p, degenerate, done))
+            return carry, None
+
+        init = (tobe0, jnp.eye(6, dtype=jnp.float32),
+                jnp.zeros((), bool), jnp.zeros((), bool))
+        (tf, _, _, _), _ = jax.lax.scan(
+            phase, init, jnp.arange(n_phases, dtype=jnp.int32))
+        return tf
+
+    def body(c: _OptCarry) -> _OptCarry:
+        (pa, pb, cvalid, normal, dplane, svalid) = jax.lax.cond(
+            c.it % m.corresp_refresh_every == 0,
+            lambda: refresh_fits(c.tf),
+            lambda: (c.line_a, c.line_b, c.line_valid,
+                     c.plane_n, c.plane_d, c.plane_valid))
+
+        tf_new, mat_p, degenerate, done = iteration(
+            c.tf, c.it, c.mat_p, c.degenerate, pa, pb, cvalid, normal,
+            dplane, svalid)
         return _OptCarry(tf=tf_new, it=c.it + 1, mat_p=mat_p,
                          degenerate=degenerate, done=done,
                          line_a=pa, line_b=pb, line_valid=cvalid,
@@ -491,7 +576,8 @@ def _line_dist(x0: Array, a: Array, b: Array) -> Tuple[Array, Array]:
 
 def step(state: MappingState, odom_pose: Array, corner_cloud: PointSet,
          surf_cloud: PointSet, cfg: LoamConfig,
-         imu_rpy: Optional[Tuple[Array, Array]] = None
+         imu_rpy: Optional[Tuple[Array, Array]] = None,
+         static_schedule: bool = False
          ) -> Tuple[MappingState, MappingOutputs]:
     """One mapping refinement (reference BasicLaserMapping::process).
 
@@ -509,10 +595,12 @@ def step(state: MappingState, odom_pose: Array, corner_cloud: PointSet,
     # Downsample feature stacks in the sensor frame (reference transforms
     # to map and back before filtering, :283-292 + :512-527 — a no-op
     # round trip in exact arithmetic).
-    corner_stack = voxel_downsample(corner_cloud, m.corner_leaf,
-                                    m.corner_stack_capacity)
-    surf_stack = voxel_downsample(surf_cloud, m.surf_leaf,
-                                  m.surf_stack_capacity)
+    corner_stack, stack_c_drop = voxel_downsample(
+        corner_cloud, m.corner_leaf, m.corner_stack_capacity,
+        return_dropped=True)
+    surf_stack, stack_s_drop = voxel_downsample(
+        surf_cloud, m.surf_leaf, m.surf_stack_capacity,
+        return_dropped=True)
 
     # Recenter the rolling window around the prior pose.
     sensor_w = world_cube_coord(tobe[lm.POS], m)
@@ -531,9 +619,11 @@ def step(state: MappingState, odom_pose: Array, corner_cloud: PointSet,
     local_s = state.surf_xyz[sidx]
     local_sc = jnp.where(in_bounds, surf_cnt[sidx], 0)
 
-    # Search clouds from up to max_active_cubes FOV-valid cubes
-    # (typically ~30 of 125; exact whenever the count fits the budget).
-    pos_a, act_a = _select_active(valid_fov, m.max_active_cubes)
+    # Search clouds from up to max_active_cubes FOV-valid cubes,
+    # populated cubes first (exact whenever the count fits the budget).
+    populated = (local_cc + local_sc) > 0
+    pos_a, act_a = _select_active(valid_fov, m.max_active_cubes,
+                                  weight=local_cc + local_sc)
 
     def local_assemble(xyz, cnt):
         sel = xyz[pos_a]
@@ -545,7 +635,8 @@ def step(state: MappingState, odom_pose: Array, corner_cloud: PointSet,
     map_s_xyz, map_s_mask = local_assemble(local_s, local_sc)
 
     tobe = optimize_pose(corner_stack, surf_stack, map_c_xyz, map_c_mask,
-                         map_s_xyz, map_s_mask, tobe, cfg)
+                         map_s_xyz, map_s_mask, tobe, cfg,
+                         static_schedule=static_schedule)
 
     # transformUpdate (reference :171-203): optional IMU attitude blend.
     if imu_rpy is not None:
@@ -560,10 +651,10 @@ def step(state: MappingState, odom_pose: Array, corner_cloud: PointSet,
     base_w = sensor_w - m.neighborhood
     corner_map_pts = _map_point(tobe, corner_stack.xyz)
     surf_map_pts = _map_point(tobe, surf_stack.xyz)
-    local_c, local_cc, recv_c = insert_into_local_slabs(
+    local_c, local_cc, recv_c, cube_c_drop = insert_into_local_slabs(
         local_c, local_cc, corner_map_pts, corner_stack.mask, base_w,
         new_origin, m)
-    local_s, local_sc, recv_s = insert_into_local_slabs(
+    local_s, local_sc, recv_s, cube_s_drop = insert_into_local_slabs(
         local_s, local_sc, surf_map_pts, surf_stack.mask, base_w,
         new_origin, m)
 
@@ -573,7 +664,8 @@ def step(state: MappingState, odom_pose: Array, corner_cloud: PointSet,
     # equivalent (a cube entering the FOV untouched stays slightly
     # denser until its next insert — harmless and cheaper).
     def thin(xyz, cnt, recv, leaf):
-        pos, act = _select_active(recv & valid_fov, m.max_active_cubes)
+        pos, act = _select_active(recv & valid_fov, m.max_active_cubes,
+                                  weight=cnt)
         sub_xyz, sub_cnt = downsample_local_slabs(xyz[pos], cnt[pos], act,
                                                   leaf)
         return xyz.at[pos].set(sub_xyz), cnt.at[pos].set(sub_cnt)
@@ -593,9 +685,25 @@ def step(state: MappingState, odom_pose: Array, corner_cloud: PointSet,
         corner_xyz=corner_xyz, corner_cnt=corner_cnt,
         surf_xyz=surf_xyz, surf_cnt=surf_cnt,
         origin=new_origin, transform_tobe=tobe,
-        transform_aft=tobe, transform_bef=odom_pose)
+        transform_aft=tobe, transform_bef=odom_pose,
+        map_frame=state.map_frame + 1)
+
+    # Surround-map cadence: the reference's _mapFrameCount starts at
+    # _mapFrameNum-1, so the 1st, (N+1)th, ... mapping frames publish
+    # (BasicLaserMapping.cpp:54,242-264).
+    surround_due = (state.map_frame % m.map_frame_num) == 0
+    telemetry = MapTelemetry(
+        stack_corner_dropped=stack_c_drop,
+        stack_surf_dropped=stack_s_drop,
+        cube_corner_dropped=cube_c_drop,
+        cube_surf_dropped=cube_s_drop,
+        active_cube_deficit=jnp.maximum(
+            jnp.sum((valid_fov & populated).astype(jnp.int32))
+            - jnp.sum((act_a & populated[pos_a]).astype(jnp.int32)), 0))
     return new_state, MappingOutputs(transform_aft=tobe,
-                                     transform_bef=odom_pose)
+                                     transform_bef=odom_pose,
+                                     surround_due=surround_due,
+                                     telemetry=telemetry)
 
 
 def full_map(state: MappingState, cfg: LoamConfig) -> Tuple[Array, Array]:

@@ -54,6 +54,9 @@ class SweepFeatures(NamedTuple):
     less_sharp: PointSet
     flat: PointSet
     less_flat: PointSet
+    # () int32 — candidate points / voxel cells lost to fixed capacities
+    # (pool compaction + less-flat voxel output); overflow telemetry.
+    dropped: Array = None
 
 
 def ring_curvature(xyz: Array, count: Array, c_region: int) -> Tuple[Array, Array]:
@@ -368,7 +371,11 @@ def extract_features(grid: RingGrid, reg: RegistrationConfig,
     # R*P grid (a VLP-16 sweep has ~14k in-region points in a 32k grid).
     less_flat_sel = in_region_f & (labels_f <= LABEL_NEUTRAL)
     less_flat_all = gather(less_flat_sel, caps.less_flat_pool)
-    less_flat = voxel_downsample(less_flat_all, reg.less_flat_filter_size,
-                                 caps.less_flat, per_ring=True)
+    pool_dropped = jnp.maximum(
+        jnp.sum(less_flat_sel.astype(jnp.int32)) - caps.less_flat_pool, 0)
+    less_flat, voxel_dropped = voxel_downsample(
+        less_flat_all, reg.less_flat_filter_size, caps.less_flat,
+        per_ring=True, return_dropped=True)
     return SweepFeatures(sharp=sharp, less_sharp=less_sharp, flat=flat,
-                         less_flat=less_flat)
+                         less_flat=less_flat,
+                         dropped=pool_dropped + voxel_dropped)

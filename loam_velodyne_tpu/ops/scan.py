@@ -68,7 +68,8 @@ def _sweep_orientations(swapped: Array, mask: Array) -> Tuple[Array, Array]:
     return start_ori, end_ori
 
 
-def relative_times(swapped: Array, mask: Array) -> Array:
+def relative_times(swapped: Array, mask: Array,
+                   crossing_mask: Array | None = None) -> Array:
     """Per-point sweep-relative time fraction in [0, 1].
 
     Vectorized form of the halfPassed unwrap
@@ -76,7 +77,17 @@ def relative_times(swapped: Array, mask: Array) -> Array:
     becomes a cumulative-or over the azimuth-ordered stream, and the two
     per-branch re-windowing rules are applied as masked selects. Returns
     the fraction relTime/scanPeriod; multiply by scan_period for seconds.
+
+    crossing_mask: which points may flip the halfPassed flag. The
+    reference skips NaN / near-zero-range / out-of-ring points BEFORE
+    the halfPassed walk (MultiScanRegistration.cpp:186-215), so callers
+    should pass the full validity mask here — a single zeroed NaN point
+    (ori = -atan2(0,0) = 0) must not flip the flag prematurely. The
+    start/end orientations still come from the raw first/last points
+    (``mask``), as in the reference (:161-172).
     """
+    if crossing_mask is None:
+        crossing_mask = mask
     start_ori, end_ori = _sweep_orientations(swapped, mask)
     two_pi = jnp.float32(2 * math.pi)
     half_pi = jnp.float32(math.pi / 2)
@@ -90,7 +101,7 @@ def relative_times(swapped: Array, mask: Array) -> Array:
     # halfPassed flips permanently once a (valid) point exceeds startOri + pi;
     # the flipping point itself is still processed with the pre branch, so the
     # flag for point i is an EXCLUSIVE cumulative-or over points < i.
-    crossed = ((ori_pre - start_ori > pi) & mask).astype(jnp.int32)
+    crossed = ((ori_pre - start_ori > pi) & crossing_mask).astype(jnp.int32)
     half_passed = (jnp.cumsum(crossed) - crossed) > 0
 
     # Post-half branch: window ori + 2pi into [endOri - 3pi/2, endOri + pi/2).
@@ -129,7 +140,7 @@ def ingest_sweep(raw: RawSweep, lidar: LidarConfig,
              & (sq_range >= reg.min_sq_range)
              & (ring >= 0) & (ring < r_rings))
 
-    rel = relative_times(swapped, raw.mask)
+    rel = relative_times(swapped, raw.mask, crossing_mask=valid)
     rel = jnp.clip(rel, 0.0, 2.0)  # guard degenerate sweeps; nominal range [0,1]
 
     if imu_window is not None:
@@ -185,7 +196,8 @@ def ingest_sweep(raw: RawSweep, lidar: LidarConfig,
     full_mask = full_all[:, 5] > 0.5
 
     grid = RingGrid(xyz=grid_xyz, rel=grid_rel, mask=grid_mask,
-                    count=grid_count)
+                    count=grid_count,
+                    dropped=jnp.sum((valid & ~keep).astype(jnp.int32)))
     full = PointSet(xyz=full_xyz, rel=full_rel, ring=full_ring,
                     mask=full_mask)
     return grid, full

@@ -43,13 +43,17 @@ def compact_pointset(ps: PointSet, keep: Array, capacity: int) -> PointSet:
 
 
 def voxel_downsample(ps: PointSet, leaf: float, capacity: int,
-                     per_ring: bool = False) -> PointSet:
+                     per_ring: bool = False, return_dropped: bool = False):
     """Centroid-per-voxel downsample of a padded point set.
 
     per_ring=True reproduces the reference's per-scanline filtering
     (each ring is voxelized independently; the same cell occupied from
     two rings yields two output points), by including the ring id in the
     cell identity.
+
+    return_dropped=True additionally returns the () int32 number of
+    occupied voxel cells that did not fit the output capacity
+    (overflow telemetry; PCL's VoxelGrid never drops).
     """
     xyz, mask = ps.xyz, ps.mask
     n = xyz.shape[0]
@@ -103,4 +107,8 @@ def voxel_downsample(ps: PointSet, leaf: float, capacity: int,
     # first sorted position, then compact.
     vals = PointSet(xyz=centroid[seg_id], rel=rel_mean[seg_id],
                     ring=real_ring_s, mask=seg_start)
-    return compact_pointset(vals, seg_start, capacity)
+    out = compact_pointset(vals, seg_start, capacity)
+    if return_dropped:
+        n_cells = jnp.sum(seg_start.astype(jnp.int32))
+        return out, jnp.maximum(n_cells - capacity, 0)
+    return out

@@ -34,7 +34,8 @@ def stack_states(states) -> engine_mod.EngineState:
 
 
 def make_batched_step(cfg: LoamConfig, mesh: Mesh | None = None,
-                      axis: str = "data", donate: bool = True):
+                      axis: str = "data", donate: bool = True,
+                      with_imu: bool = False):
     """jit-compiled batched engine step, optionally sharded over
     ``axis`` of ``mesh``.
 
@@ -43,10 +44,16 @@ def make_batched_step(cfg: LoamConfig, mesh: Mesh | None = None,
     by the axis size. Without a mesh this is the single-chip throughput
     mode: B independent replicas as one wide vmapped program (hides the
     per-stage sequential latency that bounds single-stream rate).
+    with_imu=True adds a third argument: an ops.imu.ImuWindow with a
+    leading B axis (per-replica sweep-relative windows).
     """
 
-    def step_one(state, raw):
-        return engine_mod.step(state, raw, cfg)
+    if with_imu:
+        def step_one(state, raw, win):
+            return engine_mod.step(state, raw, cfg, win)
+    else:
+        def step_one(state, raw):
+            return engine_mod.step(state, raw, cfg)
 
     batched = jax.vmap(step_one)
     dn = (0,) if donate else ()
@@ -55,10 +62,12 @@ def make_batched_step(cfg: LoamConfig, mesh: Mesh | None = None,
 
     shard = NamedSharding(mesh, P(axis))
 
-    def apply(states, raws):
+    def apply(states, raws, *rest):
         states = jax.lax.with_sharding_constraint(states, shard)
         raws = jax.lax.with_sharding_constraint(raws, shard)
-        return batched(states, raws)
+        rest = tuple(jax.lax.with_sharding_constraint(r, shard)
+                     for r in rest)
+        return batched(states, raws, *rest)
 
     return jax.jit(apply, out_shardings=(shard, shard), donate_argnums=dn)
 
@@ -92,14 +101,31 @@ def replay_sequences(cfg: LoamConfig, sequences, mesh: Mesh,
     return out_positions
 
 
-def make_batched_chunk(cfg: LoamConfig, donate: bool = True):
+def make_batched_chunk(cfg: LoamConfig, donate: bool = True,
+                       with_imu: bool = False,
+                       static_cadence: bool = True):
     """jit of B sequences x K sweeps per device call: vmap over the
     batch of the on-device lax.scan over sweeps (engine_mod.run_chunk).
     Maximum-throughput single-chip replay: one dispatch per B*K sweeps.
+    with_imu=True adds a third argument: an ops.imu.ImuWindow with
+    leading (B, K) axes.
+
+    static_cadence defaults to True here: under vmap a ``lax.cond``
+    executes BOTH branches, so the dynamic-cadence engine pays the
+    mapping stage every sweep and the 5-NN refresh every GN iteration
+    (round 1's batch-8 replay ran at 0.55x single-stream). The static
+    schedule requires chunks aligned to io_ratio from sweep 0 —
+    exactly what offline replay does (BASELINE config #5).
     """
 
-    def chunk_one(state, raws):
-        return engine_mod.run_chunk(state, raws, cfg)
+    if with_imu:
+        def chunk_one(state, raws, wins):
+            return engine_mod.run_chunk(state, raws, cfg, wins,
+                                        static_cadence=static_cadence)
+    else:
+        def chunk_one(state, raws):
+            return engine_mod.run_chunk(state, raws, cfg,
+                                        static_cadence=static_cadence)
 
     return jax.jit(jax.vmap(chunk_one),
                    donate_argnums=(0,) if donate else ())

@@ -63,12 +63,17 @@ class RingGrid(NamedTuple):
     rel:   (R, P)    float32 sweep-relative time fraction
     mask:  (R, P)    bool
     count: (R,)      int32 — valid points per ring (mask is front-packed)
+    dropped: ()      int32 — valid raw points lost to the fixed row
+             capacity P (the reference's push_back never drops,
+             MultiScanRegistration.cpp:233; this surfaces the TPU
+             fixed-shape truncation instead of hiding it).
     """
 
     xyz: Array
     rel: Array
     mask: Array
     count: Array
+    dropped: Array = None
 
     @property
     def n_rings(self) -> int:

@@ -19,6 +19,12 @@ os.environ.setdefault("JAX_ENABLE_X64", "0")
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# Persistent compile cache: XLA:CPU compiles cost 10-40s each on this
+# single-core host and tests re-jit the same programs every run; cached
+# re-runs are milliseconds. (Safe to share the dir with TPU runs — the
+# cache key includes the platform.)
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -120,3 +120,40 @@ def test_synthetic_world_geometry_sane():
         assert len(pts) > 2000
     # ground truth moves forward (z in LOAM frame) at ~1 m/s
     assert gt[-1][2] > gt[0][2]
+
+
+def test_halfpassed_ignores_invalid_points():
+    """A NaN return early in the sweep must not flip halfPassed (the
+    reference skips NaN/zero/out-of-ring points before the walk,
+    MultiScanRegistration.cpp:186-215; a zeroed NaN has ori=0 which can
+    land past startOri+pi and shift every later relTime by a sweep)."""
+    sweeps, _, _ = synthetic.generate_sequence(1, n_azimuth=360)
+    pts = sweeps[0].copy()
+    reg = RegistrationConfig()
+
+    raw_clean = scan.RawSweep(xyz=jnp.asarray(pts),
+                              mask=jnp.ones((len(pts),), bool))
+    _, full_clean = scan.ingest_sweep(raw_clean, VLP16, reg)
+
+    # poison a few points near the start with NaN / zero range
+    poisoned = pts.copy()
+    poisoned[5] = np.nan
+    poisoned[17] = 0.0
+    raw_poisoned = scan.RawSweep(xyz=jnp.asarray(poisoned),
+                                 mask=jnp.ones((len(pts),), bool))
+    _, full_poisoned = scan.ingest_sweep(raw_poisoned, VLP16, reg)
+
+    # dropping points re-packs the ring-major layout, so match the
+    # surviving points by coordinates and compare their rel times
+    def rel_by_xyz(full):
+        m = np.asarray(full.mask)
+        xyz = np.asarray(full.xyz)[m]
+        rel = np.asarray(full.rel)[m]
+        return {tuple(np.round(p, 5)): r for p, r in zip(xyz, rel)}
+
+    clean = rel_by_xyz(full_clean)
+    poisoned_rel = rel_by_xyz(full_poisoned)
+    assert len(poisoned_rel) == len(clean) - 2
+    for key, r in poisoned_rel.items():
+        assert key in clean
+        np.testing.assert_allclose(r, clean[key], atol=1e-6)

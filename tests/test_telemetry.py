@@ -1,0 +1,141 @@
+"""Cadence + overflow-telemetry tests (VERDICT round 1 items 5 and 8):
+surround-map publish every map_frame_num mapping frames, the
+stackFrameNum input gate, and drop counters firing at every
+fixed-capacity boundary.
+
+Uses the tiny config (same code paths, toy shapes) so capacities are
+small enough to overflow deliberately.
+"""
+
+import dataclasses
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from loam_velodyne_tpu.config import LoamConfig
+from loam_velodyne_tpu.io import synthetic
+from loam_velodyne_tpu.io.driver import LoamDriver
+from loam_velodyne_tpu.models import engine as engine_mod
+from loam_velodyne_tpu.ops.scan import RawSweep
+from loam_velodyne_tpu.parallel.replay import tiny_config
+
+
+def _step_engine(cfg, n_sweeps, n_pts=192, seed=0, scale=4.0):
+    rng = np.random.default_rng(seed)
+    state = engine_mod.EngineState.create(cfg)
+    outs_list = []
+    for _ in range(n_sweeps):
+        pts = rng.uniform(-scale, scale, (n_pts, 3)).astype(np.float32)
+        raw = RawSweep(xyz=jnp.asarray(pts), mask=jnp.ones((n_pts,), bool))
+        state, outs = engine_mod.step(state, raw, cfg)
+        outs_list.append(outs)
+    return state, outs_list
+
+
+def test_surround_due_cadence():
+    """surround_due fires on the 1st, (N+1)th, ... mapping frames
+    (reference _mapFrameCount starts at _mapFrameNum-1,
+    BasicLaserMapping.cpp:54,242-264)."""
+    base = tiny_config()
+    cfg = dataclasses.replace(
+        base, mapping=dataclasses.replace(base.mapping, map_frame_num=2))
+    _, outs = _step_engine(cfg, 8)
+    ran = [bool(o.mapping_ran) for o in outs]
+    due = [bool(o.surround_due) for o in outs]
+    # io_ratio=2: mapping on sweeps 1,3,5,7 -> surround on mapping
+    # frames 0 and 2 (sweeps 1 and 5)
+    assert ran == [False, True, False, True, False, True, False, True]
+    assert due == [False, True, False, False, False, True, False, False]
+
+
+def test_stack_frame_num_gates_mapping():
+    """stack_frame_num=2 processes every 2nd forwarded bundle, first
+    included (reference _frameCount starts at _stackFrameNum-1,
+    BasicLaserMapping.cpp:268-276)."""
+    base = tiny_config()
+    cfg = dataclasses.replace(
+        base, mapping=dataclasses.replace(base.mapping, stack_frame_num=2))
+    _, outs = _step_engine(cfg, 8)
+    ran = [bool(o.mapping_ran) for o in outs]
+    # bundles arrive on sweeps 1,3,5,7; mapping runs on bundles 0,2
+    assert ran == [False, True, False, False, False, True, False, False]
+
+
+def test_ingest_overflow_counter():
+    """Points beyond the per-ring row capacity are counted, not silent."""
+    base = tiny_config()
+    # tiny lidar: 4 rings x 64 slots = 256 grid capacity
+    _, outs = _step_engine(base, 1, n_pts=1024, scale=2.0)
+    tel = outs[0].telemetry
+    assert int(tel.ingest_dropped) > 0
+
+
+def test_cube_slab_overflow_counters():
+    """Slab-capacity + out-of-window insert drops are counted."""
+    base = tiny_config()
+    m = dataclasses.replace(base.mapping, corner_cube_capacity=8,
+                            surf_cube_capacity=8)
+    cfg = dataclasses.replace(base, mapping=m)
+    _, outs = _step_engine(cfg, 6, n_pts=512, scale=3.0)
+    drops = sum(int(o.telemetry.mapping.cube_surf_dropped) for o in outs)
+    assert drops > 0
+
+
+def test_no_overflow_on_clean_run():
+    """A sweep that fits every capacity reports zero drops."""
+    base = tiny_config()
+    _, outs = _step_engine(base, 2, n_pts=64, scale=2.0)
+    for o in outs:
+        assert int(o.telemetry.ingest_dropped) == 0
+
+
+def test_driver_metrics_and_surround_stream():
+    """The driver accumulates telemetry into Metrics and exposes the
+    surround-map stream at the configured cadence."""
+    cfg = LoamConfig.preset("VLP-16")
+    sweeps, _, _ = synthetic.generate_sequence(4, n_azimuth=360)
+    drv = LoamDriver(cfg, system_delay=0)
+    for pts in sweeps:
+        drv.process_sweep(pts)
+    summ = drv.metrics.summary()
+    assert "ingest_dropped" in summ["counters"]
+    assert summ["timings"]["step"]["n"] == 4
+    # map_frame_num=5: first mapping frame (sweep 1) publishes
+    assert drv.surround_count == 1
+    xyz, mask = drv.surround_map
+    assert xyz.shape[1] == 3 and mask.sum() > 0
+
+
+@pytest.mark.slow
+def test_imu_chunked_matches_per_sweep():
+    """IMU-equipped replay through run_chunked (ImuWindows stacked on
+    the scan axis) matches the per-sweep dispatch path (VERDICT round 1
+    item 6: IMU previously forced the slow path)."""
+    from loam_velodyne_tpu.io.imu import ImuTracker
+
+    cfg = LoamConfig.preset("VLP-16")
+    sweeps, _, _ = synthetic.generate_sequence(4, n_azimuth=360, speed=1.0)
+    stamps = [1000.0 + 0.1 * k for k in range(4)]
+
+    def make_tracker():
+        tr = ImuTracker()
+        for k in range(60):
+            # gentle rocking attitude so the IMU path is non-trivial
+            t = 999.8 + 0.01 * k
+            roll = 0.02 * np.sin(8.0 * t)
+            tr.push_raw(t, (np.sin(roll / 2), 0, 0, np.cos(roll / 2)),
+                        (0.0, 0.0, 9.81))
+        return tr
+
+    ref = LoamDriver(cfg, system_delay=0)
+    ref.imu_tracker = make_tracker()
+    for pts, s in zip(sweeps, stamps):
+        ref.process_sweep(pts, s)
+
+    drv = LoamDriver(cfg, system_delay=0)
+    drv.imu_tracker = make_tracker()
+    drv.run_chunked(sweeps, chunk=4, stamps=stamps)
+
+    np.testing.assert_allclose(np.stack(drv.trajectory),
+                               np.stack(ref.trajectory), atol=1e-5)
