@@ -9,12 +9,18 @@ over that rate.
 
 Measured modes:
 - headline: batched chunked replay — B independent sequences x K sweeps
-  per device dispatch (vmap of the on-device lax.scan). This is the
-  offline replay mode (BASELINE.md config #5) and the number the driver
-  records.
+  per device dispatch (vmap of the static-cadence on-device lax.scan).
+  This is the offline replay mode (BASELINE.md config #5) and the
+  number the driver records. No max() against the single-stream rate:
+  if batching ever regresses below single-stream again, it shows.
 - extras: chunked single-stream rate (latency-oriented live mode, one
-  sequence, K sweeps/dispatch), per-sweep step latency, and trajectory
-  accuracy (aligned ATE vs simulator ground truth).
+  sequence, K sweeps/dispatch), per-sweep step latency, trajectory
+  accuracy (aligned ATE vs simulator ground truth), and the engine's
+  overflow-telemetry drop counts for the run.
+
+`python bench.py --full` additionally times BASELINE configs #2-#4
+(odometry-only ablation, HDL-32, HDL-64E) and emits one JSON line per
+config after the headline line.
 """
 
 import json
@@ -28,10 +34,11 @@ import numpy as np
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
+import dataclasses                                        # noqa: E402
+
 from loam_velodyne_tpu.config import LoamConfig          # noqa: E402
 from loam_velodyne_tpu.eval.metrics import ate_rmse      # noqa: E402
 from loam_velodyne_tpu.io import synthetic               # noqa: E402
-from loam_velodyne_tpu.io.driver import LoamDriver       # noqa: E402
 from loam_velodyne_tpu.models import engine as engine_mod  # noqa: E402
 from loam_velodyne_tpu.ops.scan import RawSweep          # noqa: E402
 from loam_velodyne_tpu.parallel.replay import (          # noqa: E402
@@ -40,54 +47,70 @@ from loam_velodyne_tpu.parallel.replay import (          # noqa: E402
 CAP = 32768
 
 
-def pad_chunk(sweeps):
+def pad_chunk(sweeps, cap=CAP):
     k = len(sweeps)
-    xyz = np.zeros((k, CAP, 3), np.float32)
-    mask = np.zeros((k, CAP), bool)
+    xyz = np.zeros((k, cap, 3), np.float32)
+    mask = np.zeros((k, cap), bool)
     for i, pts in enumerate(sweeps):
-        n = min(len(pts), CAP)
+        n = min(len(pts), cap)
         xyz[i, :n] = pts[:n]
         mask[i, :n] = True
     return xyz, mask
 
 
-def main():
-    n_sweeps = int(sys.argv[1]) if len(sys.argv) > 1 else 24
-    batch = int(sys.argv[2]) if len(sys.argv) > 2 else 8
-    chunk = 8
-    assert n_sweeps % chunk == 0, "n_sweeps must be a multiple of 8"
-    cfg = LoamConfig.preset("VLP-16")
+def sum_telemetry(outs):
+    tel = outs.telemetry
+    return {
+        "ingest_dropped": int(np.sum(np.asarray(tel.ingest_dropped))),
+        "feature_dropped": int(np.sum(np.asarray(tel.feature_dropped))),
+        "cube_dropped": int(np.sum(np.asarray(tel.mapping.cube_corner_dropped))
+                            + np.sum(np.asarray(tel.mapping.cube_surf_dropped))),
+        "stack_dropped": int(np.sum(np.asarray(tel.mapping.stack_corner_dropped))
+                             + np.sum(np.asarray(tel.mapping.stack_surf_dropped))),
+        "active_cube_deficit": int(np.sum(np.asarray(
+            tel.mapping.active_cube_deficit))),
+    }
 
-    sweeps, gt, _ = synthetic.generate_sequence(n_sweeps, n_azimuth=900,
-                                                speed=1.0)
-    cx, cm = pad_chunk(sweeps[:chunk])
-    chunks = [RawSweep(jnp.asarray(cx), jnp.asarray(cm))]
-    for s in range(chunk, n_sweeps, chunk):
-        cx, cm = pad_chunk(sweeps[s:s + chunk])
+
+def bench_single_stream(cfg, sweeps, gt, chunk, cap=CAP):
+    """Chunked single-stream replay; returns (rate, ate, telemetry)."""
+    n_sweeps = len(sweeps)
+    chunks = []
+    for s in range(0, n_sweeps, chunk):
+        cx, cm = pad_chunk(sweeps[s:s + chunk], cap)
         chunks.append(RawSweep(jnp.asarray(cx), jnp.asarray(cm)))
 
-    # --- chunked single-stream (live mode) -----------------------------
     stream_step = jax.jit(
         lambda s, r: engine_mod.run_chunk(s, r, cfg), donate_argnums=(0,))
     state = engine_mod.EngineState.create(cfg)
     state, outs = stream_step(state, chunks[0])          # warmup/compile
     fused = [np.asarray(outs.fused_pose)]
+    tel = sum_telemetry(outs)
     t0 = time.perf_counter()
     for ch in chunks[1:]:
         state, outs = stream_step(state, ch)
         fused.append(np.asarray(outs.fused_pose))
     stream_dt = time.perf_counter() - t0
-    stream_rate = (n_sweeps - chunk) / stream_dt
+    for k in (t2 := sum_telemetry(outs)):
+        tel[k] += t2[k]
+    rate = (n_sweeps - chunk) / stream_dt
     est = np.concatenate(fused)[:, 3:]
-    ate = ate_rmse(est, gt, align=True)
+    ate = ate_rmse(est, gt[:len(est)], align=True)
+    return rate, ate, tel
 
-    # --- batched chunked replay (headline throughput) ------------------
+
+def bench_batched(cfg, sweeps, batch, chunk, cap=CAP):
+    """Batched static-cadence replay; returns sweeps/s."""
+    n_sweeps = len(sweeps)
     bstep = make_batched_chunk(cfg)
     states = stack_states([engine_mod.EngineState.create(cfg)
                            for _ in range(batch)])
-    bchunks = [RawSweep(xyz=jnp.asarray(np.repeat(ch.xyz[None], batch, 0)),
-                        mask=jnp.asarray(np.repeat(ch.mask[None], batch, 0)))
-               for ch in chunks]
+    bchunks = []
+    for s in range(0, n_sweeps, chunk):
+        cx, cm = pad_chunk(sweeps[s:s + chunk], cap)
+        bchunks.append(RawSweep(
+            xyz=jnp.asarray(np.repeat(cx[None], batch, 0)),
+            mask=jnp.asarray(np.repeat(cm[None], batch, 0))))
     states, outs = bstep(states, bchunks[0])             # warmup/compile
     np.asarray(outs.fused_pose)
     t0 = time.perf_counter()
@@ -95,14 +118,29 @@ def main():
         states, outs = bstep(states, ch)
     np.asarray(outs.fused_pose)
     thr_dt = time.perf_counter() - t0
-    throughput = batch * (n_sweeps - chunk) / thr_dt
+    return batch * (n_sweeps - chunk) / thr_dt
 
-    best = max(throughput, stream_rate)
+
+def main():
+    full = "--full" in sys.argv
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    n_sweeps = int(args[0]) if len(args) > 0 else 24
+    batch = int(args[1]) if len(args) > 1 else 8
+    chunk = 8
+    assert n_sweeps % chunk == 0, "n_sweeps must be a multiple of 8"
+    cfg = LoamConfig.preset("VLP-16")
+
+    sweeps, gt, _ = synthetic.generate_sequence(n_sweeps, n_azimuth=900,
+                                                speed=1.0)
+
+    stream_rate, ate, tel = bench_single_stream(cfg, sweeps, gt, chunk)
+    throughput = bench_batched(cfg, sweeps, batch, chunk)
+
     print(json.dumps({
         "metric": "vlp16_full_pipeline_throughput",
-        "value": round(best, 2),
+        "value": round(throughput, 2),
         "unit": "sweeps/s",
-        "vs_baseline": round(best / 10.0, 3),
+        "vs_baseline": round(throughput / 10.0, 3),
         "extra": {
             "single_stream_sweeps_per_sec": round(stream_rate, 2),
             "single_stream_ms_per_sweep": round(1e3 / max(stream_rate, 1e-9), 1),
@@ -111,9 +149,33 @@ def main():
             "chunk": chunk,
             "ate_aligned_m": round(ate, 4),
             "n_sweeps": n_sweeps - chunk,
+            "telemetry": tel,
             "device": str(jax.devices()[0]),
         },
     }))
+
+    if not full:
+        return
+
+    # BASELINE configs #2-#4 (odometry-only, HDL-32, HDL-64E).
+    odo_cfg = dataclasses.replace(
+        cfg, odometry=dataclasses.replace(cfg.odometry, io_ratio=10 ** 6))
+    rate, ate2, _ = bench_single_stream(odo_cfg, sweeps, gt, chunk)
+    print(json.dumps({"metric": "vlp16_odometry_only", "value": round(rate, 2),
+                      "unit": "sweeps/s", "vs_baseline": round(rate / 10, 3),
+                      "extra": {"ate_aligned_m": round(ate2, 4)}}))
+
+    for name in ("HDL-32", "HDL-64E"):
+        lcfg = LoamConfig.preset(name)
+        lsweeps, lgt, _ = synthetic.generate_sequence(
+            n_sweeps, lidar=lcfg.lidar, n_azimuth=900, speed=1.0)
+        rate, late, ltel = bench_single_stream(lcfg, lsweeps, lgt, chunk,
+                                               cap=65536)
+        key = name.lower().replace("-", "")
+        print(json.dumps({"metric": f"{key}_full_pipeline", "value": round(rate, 2),
+                          "unit": "sweeps/s", "vs_baseline": round(rate / 10, 3),
+                          "extra": {"ate_aligned_m": round(late, 4),
+                                    "telemetry": ltel}}))
 
 
 if __name__ == "__main__":
