@@ -1,0 +1,137 @@
+"""Reference-oracle parity gates (VERDICT round 1, task 4).
+
+The repo engine is compared against tests/reference_oracle.py — a
+sequential NumPy transliteration of the reference C++ pipeline — on
+noisy, turning synthetic sequences. This replaces the unavailable
+golden-bag comparison (reference tests/bag_test:42-47) as the honest
+"ATE vs CPU reference" measurement (BASELINE.json north star).
+"""
+
+import numpy as np
+import pytest
+
+from loam_velodyne_tpu.config import LoamConfig
+from loam_velodyne_tpu.eval.metrics import ate_rmse
+from loam_velodyne_tpu.io import synthetic
+from loam_velodyne_tpu.io.driver import LoamDriver
+from loam_velodyne_tpu.utils import math as lm
+
+import jax.numpy as jnp
+
+from reference_oracle import (OraclePipeline, accumulate_rotation,
+                              plugin_imu_rotation,
+                              transform_associate_to_map, voxel_grid)
+
+
+def test_oracle_accumulate_rotation_matches_reference_trig(rng):
+    """The oracle's matrix form == the reference's expanded trig
+    (BasicLaserOdometry.cpp:155-179), transliterated inline."""
+    for _ in range(20):
+        cx, cy, cz, lx, ly, lz = rng.uniform(-1.2, 1.2, 6)
+        srx = (np.cos(lx) * np.cos(cx) * np.sin(ly) * np.sin(cz)
+               - np.cos(cx) * np.cos(cz) * np.sin(lx)
+               - np.cos(lx) * np.cos(ly) * np.sin(cx))
+        ox = -np.arcsin(srx)
+        srycrx = (np.sin(lx) * (np.cos(cy) * np.sin(cz)
+                                - np.cos(cz) * np.sin(cx) * np.sin(cy))
+                  + np.cos(lx) * np.sin(ly) * (np.cos(cy) * np.cos(cz)
+                                               + np.sin(cx) * np.sin(cy) * np.sin(cz))
+                  + np.cos(lx) * np.cos(ly) * np.cos(cx) * np.sin(cy))
+        crycrx = (np.cos(lx) * np.cos(ly) * np.cos(cx) * np.cos(cy)
+                  - np.cos(lx) * np.sin(ly) * (np.cos(cz) * np.sin(cy)
+                                               - np.cos(cy) * np.sin(cx) * np.sin(cz))
+                  - np.sin(lx) * (np.sin(cy) * np.sin(cz)
+                                  + np.cos(cy) * np.cos(cz) * np.sin(cx)))
+        oy = np.arctan2(srycrx / np.cos(ox), crycrx / np.cos(ox))
+        got = accumulate_rotation((cx, cy, cz), (lx, ly, lz))
+        np.testing.assert_allclose(got[0], ox, atol=1e-9)
+        np.testing.assert_allclose(got[1], oy, atol=1e-9)
+
+
+def test_oracle_geometry_matches_repo_math(rng):
+    """Cross-check oracle compositions against the repo's utils/math
+    (itself verified against reference trig in test_geometry.py)."""
+    for _ in range(10):
+        bc, bl, al = rng.uniform(-1, 1, (3, 3))
+        got = plugin_imu_rotation(bc, bl, al)
+        want = np.asarray(lm.plugin_imu_rotation(
+            jnp.asarray(bc, jnp.float32), jnp.asarray(bl, jnp.float32),
+            jnp.asarray(al, jnp.float32)))
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+        s, b, a = rng.uniform(-1, 1, (3, 6))
+        got = transform_associate_to_map(s, b, a)
+        want = np.asarray(lm.transform_associate_to_map(
+            jnp.asarray(s, jnp.float32), jnp.asarray(b, jnp.float32),
+            jnp.asarray(a, jnp.float32)))
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_oracle_voxel_grid_centroids():
+    pts = np.array([[0.05, 0.05, 0.05, 1.0],
+                    [0.15, 0.15, 0.15, 2.0],
+                    [1.05, 0.0, 0.0, 3.0]])
+    out = voxel_grid(pts, 0.5)
+    assert len(out) == 2
+    np.testing.assert_allclose(out[0][:3], [0.1, 0.1, 0.1])
+    np.testing.assert_allclose(out[1][:3], [1.05, 0.0, 0.0])
+
+
+def _turning_traj(speed=1.0):
+    """Forward motion with a sustained yaw turn — more adversarial than
+    the straight bench corridor."""
+
+    def traj(t):
+        yaw = 0.15 * np.sin(2 * np.pi * 0.2 * t) + 0.05 * t
+        pos = np.array([speed * t, 0.8 * np.sin(2 * np.pi * 0.15 * t),
+                        0.0])
+        return pos, yaw
+
+    return traj
+
+
+@pytest.mark.slow
+def test_engine_matches_oracle_noisy_turns():
+    """End-to-end repo-vs-oracle trajectory parity on a noisy, turning
+    sequence: ATE between the two fused trajectories must be within the
+    5 cm gate (BASELINE.json) — the two implementations must agree with
+    each other at least as tightly as the accuracy budget."""
+    n = 10
+    sweeps, gt, _ = synthetic.generate_sequence(
+        n, n_azimuth=900, speed=1.0, noise_std=0.005,
+        traj=_turning_traj())
+
+    oracle = OraclePipeline()
+    oracle_fused = oracle.run(sweeps)[:, 3:]
+
+    drv = LoamDriver(LoamConfig.preset("VLP-16"), system_delay=0)
+    est = drv.run(sweeps)
+
+    # engine vs oracle: the headline parity number
+    ate_cross = ate_rmse(est, oracle_fused, align=True)
+    # both vs ground truth: sanity that neither diverged
+    ate_repo = ate_rmse(est, gt, align=True)
+    ate_oracle = ate_rmse(oracle_fused, gt, align=True)
+    print(f"repo-vs-oracle ATE {ate_cross:.4f} m | repo-vs-gt "
+          f"{ate_repo:.4f} m | oracle-vs-gt {ate_oracle:.4f} m")
+    assert ate_cross < 0.05, ate_cross
+    assert ate_repo < 0.15 and ate_oracle < 0.15
+
+
+@pytest.mark.slow
+def test_engine_matches_oracle_dropout():
+    """Parity holds through a sweep with heavy point dropout (every 3rd
+    azimuth column removed) — stresses the region/feature logic."""
+    n = 6
+    sweeps, _, _ = synthetic.generate_sequence(n, n_azimuth=900, speed=1.0,
+                                               noise_std=0.003)
+    rng = np.random.default_rng(7)
+    sweeps = [s[rng.random(len(s)) > 0.3] for s in sweeps]
+
+    oracle = OraclePipeline()
+    oracle_fused = oracle.run(sweeps)[:, 3:]
+    drv = LoamDriver(LoamConfig.preset("VLP-16"), system_delay=0)
+    est = drv.run(sweeps)
+    ate_cross = ate_rmse(est, oracle_fused, align=True)
+    print(f"dropout repo-vs-oracle ATE {ate_cross:.4f} m")
+    assert ate_cross < 0.05, ate_cross
