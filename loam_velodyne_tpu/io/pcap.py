@@ -1,16 +1,30 @@
 """Velodyne PCAP capture reading (and writing, for fixtures).
 
 Replaces the velodyne_driver + velodyne_pointcloud stack that feeds the
-reference's /velodyne_points topic: decodes raw VLP-16 UDP payloads
-(1206 bytes: 12 blocks x [0xFFEE, azimuth/100 deg, 32 x (range*2mm,
+reference's /velodyne_points topic: decodes raw Velodyne UDP payloads
+(1206 bytes: 12 blocks x [flag, azimuth/100 deg, 32 x (range*2mm,
 reflectivity)]) into sensor-frame sweeps segmented at azimuth rollover.
 Native C++ fast path (native/loamio.cc) with a numpy fallback.
+
+Sensor models (the reference's MultiScanMapper family,
+MultiScanRegistration.h:83-89):
+- VLP-16:  block flag 0xEEFF, 2 firings x 16 channels per block,
+           product id 0x22 in the factory footer byte.
+- HDL-32E: block flag 0xEEFF, 1 firing x 32 channels per block,
+           product id 0x21; interleaved elevation table per datasheet.
+- HDL-64E: blocks alternate upper bank 0xEEFF (lasers 0-31) / lower
+           bank 0xDDFF (lasers 32-63); no product id (pre-dates the
+           factory bytes) — detected by the 0xDDFF flag. Real units
+           carry per-unit elevation calibration; without a calibration
+           file the NOMINAL evenly-spaced tables are used (upper
+           +2.0..-8.33 deg, lower -8.83..-24.33 deg) — fine for ring
+           binning, which only needs monotone vertical angles.
 """
 
 from __future__ import annotations
 
 import struct
-from typing import List, Tuple
+from typing import List, Optional, Tuple
 
 import numpy as np
 
@@ -20,44 +34,89 @@ VLP16_ELEVATIONS_DEG = np.array(
     [-15, 1, -13, 3, -11, 5, -9, 7, -7, 9, -5, 11, -3, 13, -1, 15],
     np.float64)
 
+HDL32_ELEVATIONS_DEG = np.array(
+    [-30.67, -9.33, -29.33, -8.00, -28.00, -6.66, -26.66, -5.33,
+     -25.33, -4.00, -24.00, -2.67, -22.67, -1.33, -21.33, 0.00,
+     -20.00, 1.33, -18.67, 2.67, -17.33, 4.00, -16.00, 5.33,
+     -14.67, 6.67, -13.33, 8.00, -12.00, 9.33, -10.67, 10.67],
+    np.float64)
+
+# Nominal (calibration-free) HDL-64E bank tables.
+HDL64_UPPER_ELEVATIONS_DEG = np.linspace(2.0, -8.33, 32)
+HDL64_LOWER_ELEVATIONS_DEG = np.linspace(-8.83, -24.33, 32)
+
 _PCAP_MAGIC = 0xA1B2C3D4
 _UDP_HEADER = 42
 _PAYLOAD = 1206
+_FLAG_UPPER = 0xEEFF
+_FLAG_LOWER = 0xDDFF
+
+_PRODUCT_IDS = {0x22: "VLP-16", 0x21: "HDL-32"}
 
 
-def _decode_payload(payload: bytes) -> Tuple[np.ndarray, np.ndarray]:
+def detect_model(payload: bytes) -> str:
+    """Sensor model of one 1206-byte payload."""
+    for b in range(12):
+        (flag,) = struct.unpack_from("<H", payload, b * 100)
+        if flag == _FLAG_LOWER:
+            return "HDL-64E"
+    pid = payload[1205]
+    return _PRODUCT_IDS.get(pid, "VLP-16")
+
+
+def _block_ranges(blk: bytes) -> np.ndarray:
+    rec = np.frombuffer(blk, np.uint8, 96, 4)
+    raw = (rec.reshape(32, 3)[:, 0].astype(np.uint16)
+           | (rec.reshape(32, 3)[:, 1].astype(np.uint16) << 8))
+    return raw.astype(np.float64) * 0.002
+
+
+def _project(d: np.ndarray, elev_deg: np.ndarray, az_deg: float,
+             pts: list, azs: list) -> None:
+    ok = d > 0
+    if not ok.any():
+        return
+    el = np.deg2rad(elev_deg[ok])
+    azr = np.deg2rad(az_deg)
+    dd = d[ok]
+    ce = np.cos(el)
+    pts.append(np.stack([dd * ce * np.cos(azr),
+                         -dd * ce * np.sin(azr),
+                         dd * np.sin(el)], axis=1))
+    azs.append(np.full(int(ok.sum()), az_deg))
+
+
+def _decode_payload(payload: bytes, model: Optional[str] = None
+                    ) -> Tuple[np.ndarray, np.ndarray]:
     """One 1206-byte payload -> (xyz (M,3), azimuth_deg (M,))."""
+    if model is None:
+        model = detect_model(payload)
     pts, azs = [], []
     for b in range(12):
         blk = payload[b * 100:(b + 1) * 100]
         (flag, az_raw) = struct.unpack_from("<HH", blk, 0)
-        if flag != 0xEEFF:
+        if flag not in (_FLAG_UPPER, _FLAG_LOWER):
             continue
         az0 = az_raw / 100.0
-        if b + 1 < 12:
-            az1 = struct.unpack_from("<H", payload, (b + 1) * 100 + 2)[0] / 100.0
-            if az1 < az0:
-                az1 += 360.0
-        else:
-            az1 = az0 + 0.4
-        rec = np.frombuffer(blk, np.uint8, 96, 4)
-        raw = (rec.reshape(32, 3)[:, 0].astype(np.uint16)
-               | (rec.reshape(32, 3)[:, 1].astype(np.uint16) << 8))
-        dist = raw.astype(np.float64) * 0.002
-        for firing in range(2):
-            az = az0 + (az1 - az0) * 0.5 * firing
-            d = dist[firing * 16:(firing + 1) * 16]
-            ok = d > 0
-            if not ok.any():
-                continue
-            el = np.deg2rad(VLP16_ELEVATIONS_DEG[ok])
-            azr = np.deg2rad(az)
-            dd = d[ok]
-            ce = np.cos(el)
-            pts.append(np.stack([dd * ce * np.cos(azr),
-                                 -dd * ce * np.sin(azr),
-                                 dd * np.sin(el)], axis=1))
-            azs.append(np.full(ok.sum(), az))
+        dist = _block_ranges(blk)
+        if model == "VLP-16":
+            if b + 1 < 12:
+                az1 = struct.unpack_from(
+                    "<H", payload, (b + 1) * 100 + 2)[0] / 100.0
+                if az1 < az0:
+                    az1 += 360.0
+            else:
+                az1 = az0 + 0.4
+            for firing in range(2):
+                az = az0 + (az1 - az0) * 0.5 * firing
+                _project(dist[firing * 16:(firing + 1) * 16],
+                         VLP16_ELEVATIONS_DEG, az, pts, azs)
+        elif model == "HDL-32":
+            _project(dist, HDL32_ELEVATIONS_DEG, az0, pts, azs)
+        else:  # HDL-64E: bank selected by the block flag
+            elev = (HDL64_UPPER_ELEVATIONS_DEG if flag == _FLAG_UPPER
+                    else HDL64_LOWER_ELEVATIONS_DEG)
+            _project(dist, elev, az0, pts, azs)
     if not pts:
         return np.zeros((0, 3)), np.zeros((0,))
     return np.concatenate(pts), np.concatenate(azs)
@@ -76,6 +135,7 @@ def _python_read(path: str) -> Tuple[List[np.ndarray], List[np.ndarray]]:
         sweeps, rels = [], []
         cur_xyz, cur_az = [], []
         prev_az = None
+        model = None
         while True:
             ph = f.read(16)
             if len(ph) < 16:
@@ -84,7 +144,10 @@ def _python_read(path: str) -> Tuple[List[np.ndarray], List[np.ndarray]]:
             data = f.read(incl)
             if len(data) < _UDP_HEADER + _PAYLOAD:
                 continue
-            xyz, az = _decode_payload(data[_UDP_HEADER:_UDP_HEADER + _PAYLOAD])
+            payload = data[_UDP_HEADER:_UDP_HEADER + _PAYLOAD]
+            if model is None:
+                model = detect_model(payload)
+            xyz, az = _decode_payload(payload, model)
             for i in range(len(az)):
                 if prev_az is not None and az[i] < prev_az - 180.0:
                     sweeps.append(np.concatenate(cur_xyz)
@@ -166,15 +229,36 @@ def write_pcap(path: str, packets: List[bytes]) -> None:
             f.write(frame)
 
 
+def _packet(azimuths_deg: List[float], ranges_m: np.ndarray,
+            flags: List[int], product_id: int) -> bytes:
+    out = b""
+    for b in range(12):
+        out += struct.pack("<HH", flags[b],
+                           int(round(azimuths_deg[b] * 100)))
+        for ch in range(32):
+            raw = int(round(ranges_m[b, ch] / 0.002))
+            out += struct.pack("<HB", raw & 0xFFFF, 50)
+    out += struct.pack("<IBB", 0, 0x37, product_id)
+    return out
+
+
 def make_vlp16_packet(azimuths_deg: List[float],
                       ranges_m: np.ndarray) -> bytes:
     """Build one VLP-16 payload. azimuths_deg: 12 block azimuths;
     ranges_m: (12, 32) ranges in meters (0 = no return)."""
-    out = b""
-    for b in range(12):
-        out += struct.pack("<HH", 0xEEFF, int(round(azimuths_deg[b] * 100)))
-        for ch in range(32):
-            raw = int(round(ranges_m[b, ch] / 0.002))
-            out += struct.pack("<HB", raw & 0xFFFF, 50)
-    out += struct.pack("<IBB", 0, 0x37, 0x22)
-    return out
+    return _packet(azimuths_deg, ranges_m, [_FLAG_UPPER] * 12, 0x22)
+
+
+def make_hdl32_packet(azimuths_deg: List[float],
+                      ranges_m: np.ndarray) -> bytes:
+    """Build one HDL-32E payload (12 blocks x 32 channels)."""
+    return _packet(azimuths_deg, ranges_m, [_FLAG_UPPER] * 12, 0x21)
+
+
+def make_hdl64_packet(azimuths_deg: List[float],
+                      ranges_m: np.ndarray) -> bytes:
+    """Build one HDL-64E payload: blocks alternate upper/lower bank,
+    pairs sharing an azimuth. azimuths_deg: 12 block azimuths (pairs
+    should repeat); ranges_m: (12, 32)."""
+    flags = [_FLAG_UPPER if b % 2 == 0 else _FLAG_LOWER for b in range(12)]
+    return _packet(azimuths_deg, ranges_m, flags, 0x00)
