@@ -19,12 +19,12 @@ os.environ.setdefault("JAX_ENABLE_X64", "0")
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
-# Persistent compile cache: XLA:CPU compiles cost 10-40s each on this
-# single-core host and tests re-jit the same programs every run; cached
-# re-runs are milliseconds. (Safe to share the dir with TPU runs — the
-# cache key includes the platform.)
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+# Do NOT enable the persistent compile cache for CPU tests: XLA:CPU AOT
+# deserialization on this host loads executables whose recorded machine
+# features (+prefer-no-scatter/+prefer-no-gather, AMX set) mismatch the
+# host feature list and can SIGILL/segfault (observed: segv inside
+# compilation_cache.get_executable_and_time). The cache stays TPU-only
+# (bench.py / __graft_entry__.entry), where it is load-bearing.
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -22,14 +22,20 @@ from loam_velodyne_tpu.parallel.replay import tiny_config
 
 
 def _step_engine(cfg, n_sweeps, n_pts=192, seed=0, scale=4.0):
+    import jax
+
     rng = np.random.default_rng(seed)
     state = engine_mod.EngineState.create(cfg)
+    # jit (not eager): dispatching the whole engine as one eager cond
+    # primitive makes XLA:CPU compile a pathological program (observed
+    # order-dependent compiler segfaults) and is ~30x slower.
+    step = jax.jit(lambda s, r: engine_mod.step(s, r, cfg))
     outs_list = []
     for _ in range(n_sweeps):
         pts = rng.uniform(-scale, scale, (n_pts, 3)).astype(np.float32)
         raw = RawSweep(xyz=jnp.asarray(pts), mask=jnp.ones((n_pts,), bool))
-        state, outs = engine_mod.step(state, raw, cfg)
-        outs_list.append(outs)
+        state, outs = step(state, raw)
+        outs_list.append(jax.tree_util.tree_map(np.asarray, outs))
     return state, outs_list
 
 
