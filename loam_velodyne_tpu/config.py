@@ -235,9 +235,12 @@ class Capacities:
         less_flat = _round_up(min(r * 512, 8192), 128)
         full = _round_up(r * lidar.max_points_per_ring, 128)
         ncubes = min(mapping.n_neighborhood_cubes, mapping.max_active_cubes)
+        # Pool scales with ring count: a fixed 16384 overflowed by
+        # ~12k points/sweep on HDL-32 (caught by overflow telemetry).
+        pool = min(full, _round_up(max(16384, r * 1024), 128))
         return Capacities(
             sharp=sharp, less_sharp=less_sharp, flat=flat,
-            less_flat=less_flat, less_flat_pool=min(full, 16384),
+            less_flat=less_flat, less_flat_pool=pool,
             full_cloud=full,
             map_corner_search=ncubes * mapping.corner_cube_capacity,
             map_surf_search=ncubes * mapping.surf_cube_capacity,
