@@ -179,6 +179,14 @@ class MappingConfig:
     # many are assembled/downsampled per frame (FOV-valid cubes are
     # typically ~30; exact whenever the count fits the budget).
     max_active_cubes: int = 64
+    # Re-thin budget: at most this many cubes are voxel-re-thinned per
+    # mapping frame. Only cubes that RECEIVED inserts this frame are
+    # candidates (a sweep touches the ~27 cubes around the sensor, not
+    # the whole 125 neighborhood), so a smaller budget than
+    # max_active_cubes halves the batched re-thin sort width; a cube
+    # past the budget keeps its extra points until its next insert
+    # (voxel thinning is idempotent — bounded, not lossy).
+    thin_active_cubes: int = 32
     # Candidate window + query-group size for the axis-sorted tiled
     # 5-NN search (ops/neighbors.py::tiled_windowed_knn).
     knn_window: int = 1024

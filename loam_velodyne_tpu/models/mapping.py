@@ -272,13 +272,20 @@ def insert_into_local_slabs(local_xyz: Array, local_cnt: Array, pts: Array,
     lidx = jnp.where(ok, rel3[:, 0] * side * side + rel3[:, 1] * side
                      + rel3[:, 2], l)
 
-    order = jnp.argsort(jnp.where(ok, lidx, l), stable=True)
-    lidx_s = lidx[order]
-    pts_s = pts[order]
-    ok_s = ok[order]
-    counts = jnp.zeros((l + 1,), jnp.int32).at[lidx_s].add(1)
+    # Rank of each point within its cube (stable by input order, like
+    # the reference's sequential push_back) via ONE stable
+    # payload-carrying sort by cube id: rank = sorted position minus
+    # the cube's start offset. The coordinates ride the sort as extra
+    # lax.sort operands — no argsort row-gathers (the dominant cost of
+    # the previous form on TPU, PERF.md §1).
+    lidx_s, px, py, pz, ok_si = jax.lax.sort(
+        (lidx, pts[:, 0], pts[:, 1], pts[:, 2], ok.astype(jnp.int32)),
+        num_keys=1, is_stable=True)
+    ok_s = ok_si.astype(bool)
+    pts_s = jnp.stack([px, py, pz], axis=1)
+    counts = jnp.zeros((l + 1,), jnp.int32).at[lidx].add(1)
     starts = jnp.concatenate([jnp.zeros((1,), jnp.int32),
-                              jnp.cumsum(counts)[:-1].astype(jnp.int32)])
+                              jnp.cumsum(counts[:-1]).astype(jnp.int32)])
     rank = jnp.arange(pts.shape[0], dtype=jnp.int32) \
         - starts[jnp.clip(lidx_s, 0, l)]
     slot = local_cnt[jnp.clip(lidx_s, 0, l - 1)] + rank
@@ -426,31 +433,35 @@ def optimize_pose(corner_stack: PointSet, surf_stack: PointSet,
 
     def refresh_fits(tf):
         qc = _map_point(tf, corner_stack.xyz)
-        idx_c, d2_c = tiled_windowed_knn(qc, corner_stack.mask,
-                                         corner_sorted, k=5,
-                                         window=m.knn_window,
-                                         group=m.knn_group)
+        _, d2_c, nbrs_c = tiled_windowed_knn(qc, corner_stack.mask,
+                                             corner_sorted, k=5,
+                                             window=m.knn_window,
+                                             group=m.knn_group,
+                                             return_neighbors=True)
         gate_c = d2_c[:, 4] < m.nn_sq_dist_gate
-        nbrs_c = corner_sorted.xyz[idx_c]                       # (Q,5,3)
         centroid, direction, line_ok = fit.line_fit(nbrs_c)
         pa = centroid + m.line_half_length * direction
         pb = centroid - m.line_half_length * direction
 
         qs = _map_point(tf, surf_stack.xyz)
-        idx_s, d2_s = tiled_windowed_knn(qs, surf_stack.mask, surf_sorted,
-                                         k=5, window=m.knn_window,
-                                         group=m.knn_group)
+        _, d2_s, nbrs_s = tiled_windowed_knn(qs, surf_stack.mask,
+                                             surf_sorted, k=5,
+                                             window=m.knn_window,
+                                             group=m.knn_group,
+                                             return_neighbors=True)
         gate_s = d2_s[:, 4] < m.nn_sq_dist_gate
-        nbrs_s = surf_sorted.xyz[idx_s]
         normal, dplane, plane_ok = fit.plane_fit(nbrs_s,
                                                  m.plane_max_residual)
         return (pa, pb, corner_stack.mask & gate_c & line_ok,
                 normal, dplane, surf_stack.mask & gate_s & plane_ok)
 
     def iteration(tf, it, mat_p0, degenerate0, pa, pb, cvalid, normal,
-                  dplane, svalid):
+                  dplane, svalid, projector_mode="cond"):
         """One GN update against cached fits; returns
-        (tf_new, mat_p, degenerate, done)."""
+        (tf_new, mat_p, degenerate, done). projector_mode as in
+        odometry._gn_iteration: the static schedule peels iteration 0
+        ("compute"/"carry") because a vmapped lax.cond would run the
+        6x6 eigh every iteration."""
         # --- corners: point-to-line residuals against cached fits ---
         qc = _map_point(tf, corner_stack.xyz)
         d_c, dir_c = _line_dist(qc, pa, pb)
@@ -480,16 +491,22 @@ def optimize_pose(corner_stack: PointSet, surf_stack: PointSet,
         atb = jnp.matmul(a_rows.T, b_vec, precision=hi)
         x = jnp.linalg.solve(ata, atb)
 
-        first = (it == 0) & enough
-
         def projector():
             w, v = jnp.linalg.eigh(ata)
             keep = (w >= m.degeneracy_eigen_threshold).astype(jnp.float32)
             return (jnp.matmul(v * keep[None, :], v.T, precision=hi),
                     jnp.any(keep < 0.5))
 
-        mat_p, degenerate = jax.lax.cond(
-            first, projector, lambda: (mat_p0, degenerate0))
+        if projector_mode == "compute":
+            p, dg = projector()
+            mat_p = jnp.where(enough, p, mat_p0)
+            degenerate = enough & dg
+        elif projector_mode == "carry":
+            mat_p, degenerate = mat_p0, degenerate0
+        else:
+            first = (it == 0) & enough
+            mat_p, degenerate = jax.lax.cond(
+                first, projector, lambda: (mat_p0, degenerate0))
         x = jnp.where(degenerate, jnp.matmul(mat_p, x, precision=hi), x)
 
         tf_new = tf + x
@@ -506,31 +523,43 @@ def optimize_pose(corner_stack: PointSet, surf_stack: PointSet,
         refresh_every = m.corresp_refresh_every
         n_phases = -(-m.max_iterations // refresh_every)
 
-        def phase(carry, phase_idx):
-            tf, mat_p, degenerate, done = carry
+        def do_phase(phase_idx, tf, mat_p, degenerate, done, first):
             pa, pb, cvalid, normal, dplane, svalid = refresh_fits(tf)
-
-            def inner(j, c):
-                tf, mat_p, degenerate, done = c
+            for j in range(refresh_every):       # static unroll
                 it = phase_idx * refresh_every + j
+                mode = "compute" if (first and j == 0) else "carry"
                 tf_new, mat_p_new, degen_new, done_step = iteration(
                     tf, it, mat_p, degenerate, pa, pb, cvalid, normal,
-                    dplane, svalid)
+                    dplane, svalid, projector_mode=mode)
                 active = run & ~done & (it < m.max_iterations)
                 tf = jnp.where(active, tf_new, tf)
                 mat_p = jnp.where(active, mat_p_new, mat_p)
                 degenerate = jnp.where(active, degen_new, degenerate)
                 done = done | (active & done_step)
-                return (tf, mat_p, degenerate, done)
+            return tf, mat_p, degenerate, done
 
-            carry = jax.lax.fori_loop(0, refresh_every, inner,
-                                      (tf, mat_p, degenerate, done))
-            return carry, None
+        # Phase 0 peeled (projector eigh runs once, outside the loop);
+        # then while over PHASES, not a scan: the windowed 5-NN refresh
+        # is the expensive part of each phase, and a while_loop (which
+        # vmap batches into an any-lane-still-running loop) stops
+        # refreshing once every lane has hit its 0.05 aborts — the scan
+        # form paid all n_phases refreshes on every frame.
+        tf, mat_p, degenerate, done = do_phase(
+            jnp.zeros((), jnp.int32), tobe0, jnp.eye(6, dtype=jnp.float32),
+            jnp.zeros((), bool), jnp.zeros((), bool), first=True)
 
-        init = (tobe0, jnp.eye(6, dtype=jnp.float32),
-                jnp.zeros((), bool), jnp.zeros((), bool))
-        (tf, _, _, _), _ = jax.lax.scan(
-            phase, init, jnp.arange(n_phases, dtype=jnp.int32))
+        def phase_cond(carry):
+            phase_idx, tf, mat_p, degenerate, done = carry
+            return (phase_idx < n_phases) & ~done & run
+
+        def phase_body(carry):
+            phase_idx, tf, mat_p, degenerate, done = carry
+            tf, mat_p, degenerate, done = do_phase(
+                phase_idx, tf, mat_p, degenerate, done, first=False)
+            return (phase_idx + 1, tf, mat_p, degenerate, done)
+
+        init = (jnp.ones((), jnp.int32), tf, mat_p, degenerate, done)
+        _, tf, _, _, _ = jax.lax.while_loop(phase_cond, phase_body, init)
         return tf
 
     def body(c: _OptCarry) -> _OptCarry:
@@ -664,7 +693,7 @@ def step(state: MappingState, odom_pose: Array, corner_cloud: PointSet,
     # equivalent (a cube entering the FOV untouched stays slightly
     # denser until its next insert — harmless and cheaper).
     def thin(xyz, cnt, recv, leaf):
-        pos, act = _select_active(recv & valid_fov, m.max_active_cubes,
+        pos, act = _select_active(recv & valid_fov, m.thin_active_cubes,
                                   weight=cnt)
         sub_xyz, sub_cnt = downsample_local_slabs(xyz[pos], cnt[pos], act,
                                                   leaf)

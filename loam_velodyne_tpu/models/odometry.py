@@ -247,10 +247,17 @@ def run_gauss_newton(sharp: PointSet, flat: PointSet, last_corner: PointSet,
 
 def _gn_iteration(tf, it, mat_p0, degenerate0, x_c, x_s, sharp, flat,
                   last_corner, last_surf, cj, cl, cvalid, sj, sl, sm_,
-                  svalid, odo):
+                  svalid, odo, projector_mode: str = "cond"):
     """One GN update against cached correspondences (shared by the
     dynamic while_loop and the static phase schedule). Returns
-    (tf_new, mat_p, degenerate, done)."""
+    (tf_new, mat_p, degenerate, done).
+
+    projector_mode: how the iteration-0 degeneracy projector is
+    obtained. "cond" (dynamic path): lax.cond on it==0 — fine for
+    scalar dispatch, but under vmap a batched cond executes BOTH
+    branches, i.e. a 6x6 eigh every iteration. The static schedule
+    therefore peels iteration 0 and passes "compute" (unconditional
+    eigh, once) there and "carry" (never compute) afterwards."""
     # Corner point-to-line residuals.
     d_c, dir_c = _line_residual(x_c, last_corner.xyz[cj], last_corner.xyz[cl])
     s_c = jnp.where(it >= odo.weight_start_iteration,
@@ -281,11 +288,18 @@ def _gn_iteration(tf, it, mat_p0, degenerate0, x_c, x_s, sharp, flat,
 
     x, ata = _solve_gn(a_rows, b_vec)
 
-    first = (it == 0) & enough
-    mat_p, degenerate = jax.lax.cond(
-        first,
-        lambda: _degeneracy_projector(ata, odo.degeneracy_eigen_threshold),
-        lambda: (mat_p0, degenerate0))
+    if projector_mode == "compute":
+        p, dg = _degeneracy_projector(ata, odo.degeneracy_eigen_threshold)
+        mat_p = jnp.where(enough, p, mat_p0)
+        degenerate = enough & dg
+    elif projector_mode == "carry":
+        mat_p, degenerate = mat_p0, degenerate0
+    else:
+        first = (it == 0) & enough
+        mat_p, degenerate = jax.lax.cond(
+            first,
+            lambda: _degeneracy_projector(ata, odo.degeneracy_eigen_threshold),
+            lambda: (mat_p0, degenerate0))
 
     hi = jax.lax.Precision.HIGHEST
     x = jnp.where(degenerate, jnp.matmul(mat_p, x, precision=hi), x)
@@ -303,44 +317,59 @@ def _gn_iteration(tf, it, mat_p0, degenerate0, x_c, x_s, sharp, flat,
 def _run_gn_static(sharp: PointSet, flat: PointSet, last_corner: PointSet,
                    last_surf: PointSet, tf0: Array, cfg: LoamConfig,
                    run: Array) -> Array:
-    """vmap-safe GN: scan over refresh phases, fori over cached-fit
-    iterations, early abort as masked freezing. No data-dependent
-    ``lax.cond`` anywhere, so batching never duplicates branch work."""
+    """vmap-safe GN: while_loop over refresh PHASES (refresh at phase
+    start, fori over the cached-fit iterations inside, early abort as
+    masked freezing). No data-dependent ``lax.cond`` in the schedule,
+    so vmap never duplicates branch work — and because vmap batches a
+    while_loop into "iterate until every lane's cond is false", batched
+    replay still gets early abort at phase granularity instead of
+    paying all max_iterations/refresh_every phases every sweep."""
     odo = cfg.odometry
     refresh_every = odo.corresp_refresh_every
     n_phases = -(-odo.max_iterations // refresh_every)
 
-    def phase(carry, phase_idx):
-        tf, mat_p, degenerate, done = carry
+    def do_phase(phase_idx, tf, mat_p, degenerate, done, first):
         x_c = lm.transform_to_start(sharp.xyz, sharp.rel, tf)
         x_s = lm.transform_to_start(flat.xyz, flat.rel, tf)
         cm = corner_correspondences(x_c, sharp.mask, last_corner)
         sm = surf_correspondences(x_s, flat.mask, last_surf)
 
-        def inner(j, c):
-            tf, mat_p, degenerate, done = c
+        # static unroll so iteration 0 (the only one that computes the
+        # degeneracy projector) peels without a lax.cond
+        for j in range(refresh_every):
             it = phase_idx * refresh_every + j
-            x_c = lm.transform_to_start(sharp.xyz, sharp.rel, tf)
-            x_s = lm.transform_to_start(flat.xyz, flat.rel, tf)
+            mode = "compute" if (first and j == 0) else "carry"
+            x_c_j = lm.transform_to_start(sharp.xyz, sharp.rel, tf)
+            x_s_j = lm.transform_to_start(flat.xyz, flat.rel, tf)
             tf_new, mat_p_new, degen_new, done_step = _gn_iteration(
-                tf, it, mat_p, degenerate, x_c, x_s, sharp, flat,
+                tf, it, mat_p, degenerate, x_c_j, x_s_j, sharp, flat,
                 last_corner, last_surf, cm.j, cm.l, cm.valid,
-                sm.j, sm.l, sm.m, sm.valid, odo)
+                sm.j, sm.l, sm.m, sm.valid, odo, projector_mode=mode)
             active = run & ~done & (it < odo.max_iterations)
             tf = jnp.where(active, tf_new, tf)
             mat_p = jnp.where(active, mat_p_new, mat_p)
             degenerate = jnp.where(active, degen_new, degenerate)
             done = done | (active & done_step)
-            return (tf, mat_p, degenerate, done)
+        return tf, mat_p, degenerate, done
 
-        carry = jax.lax.fori_loop(0, refresh_every, inner,
-                                  (tf, mat_p, degenerate, done))
-        return carry, None
+    # Phase 0 peeled: its iteration 0 computes the projector
+    # unconditionally (one eigh, outside all loops).
+    tf, mat_p, degenerate, done = do_phase(
+        jnp.zeros((), jnp.int32), tf0, jnp.eye(6, dtype=jnp.float32),
+        jnp.zeros((), bool), jnp.zeros((), bool), first=True)
 
-    init = (tf0, jnp.eye(6, dtype=jnp.float32), jnp.zeros((), bool),
-            jnp.zeros((), bool))
-    (tf, _, _, _), _ = jax.lax.scan(phase, init,
-                                    jnp.arange(n_phases, dtype=jnp.int32))
+    def phase_cond(carry):
+        phase_idx, tf, mat_p, degenerate, done = carry
+        return (phase_idx < n_phases) & ~done & run
+
+    def phase_body(carry):
+        phase_idx, tf, mat_p, degenerate, done = carry
+        tf, mat_p, degenerate, done = do_phase(
+            phase_idx, tf, mat_p, degenerate, done, first=False)
+        return (phase_idx + 1, tf, mat_p, degenerate, done)
+
+    init = (jnp.ones((), jnp.int32), tf, mat_p, degenerate, done)
+    _, tf, _, _, _ = jax.lax.while_loop(phase_cond, phase_body, init)
     return tf
 
 

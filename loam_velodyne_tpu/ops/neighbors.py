@@ -134,11 +134,17 @@ class SortedCloud(NamedTuple):
 
 
 def sort_cloud(xyz: Array, mask: Array, axis: int = 2) -> SortedCloud:
+    # Payload-carrying sort: argsort-then-gather costs O(M) random
+    # row-gathers (the dominant cost at map-cloud sizes of ~5e4 rows on
+    # TPU); lax.sort moves the coordinates through the sort network.
     keys = jnp.where(mask, xyz[:, axis], jnp.inf)
-    order = jnp.argsort(keys)
-    xyz_s = jnp.where(mask[order][:, None], xyz[order], _FAR_SENTINEL)
-    return SortedCloud(xyz=xyz_s, mask=mask[order], keys=keys[order],
-                       axis=axis)
+    k_s, x_s, y_s, z_s, m_s = jax.lax.sort(
+        (keys, xyz[:, 0], xyz[:, 1], xyz[:, 2], mask.astype(jnp.int32)),
+        num_keys=1, is_stable=True)
+    mask_s = m_s.astype(bool)
+    xyz_s = jnp.where(mask_s[:, None],
+                      jnp.stack([x_s, y_s, z_s], axis=1), _FAR_SENTINEL)
+    return SortedCloud(xyz=xyz_s, mask=mask_s, keys=k_s, axis=axis)
 
 
 def windowed_knn(query_xyz: Array, query_mask: Array, ref: SortedCloud,
@@ -172,8 +178,8 @@ def windowed_knn(query_xyz: Array, query_mask: Array, ref: SortedCloud,
 
 
 def tiled_windowed_knn(query_xyz: Array, query_mask: Array, ref: SortedCloud,
-                       k: int, window: int, group: int = 128
-                       ) -> tuple[Array, Array]:
+                       k: int, window: int, group: int = 128,
+                       return_neighbors: bool = False):
     """k-NN against an axis-sorted cloud, tiled for TPU gather economics.
 
     ``windowed_knn`` issues one gathered row per (query, candidate) —
@@ -188,19 +194,28 @@ def tiled_windowed_knn(query_xyz: Array, query_mask: Array, ref: SortedCloud,
     + the acceptance radius; misses are filtered by the caller's gate).
 
     Returns (indices into the sorted cloud (Q, k), sq_dists (Q, k)) in
-    the ORIGINAL query order.
+    the ORIGINAL query order. With return_neighbors=True additionally
+    returns the neighbor coordinates (Q, k, 3), gathered inside the
+    per-group windows — a (G, k)-row gather from a window-sized array
+    per group instead of a (Q, k)-row random gather from the full
+    sorted cloud (the caller's ``ref.xyz[idx]`` was one of the largest
+    kernels of the batched mapping program).
     """
     q = query_xyz.shape[0]
     m = ref.xyz.shape[0]
     assert q % group == 0, (q, group)
     t = q // group
 
-    # sort queries along the axis; padded queries to the end
+    # sort queries along the axis (payload-carrying sort, no gathers);
+    # padded queries to the end. The row iota rides along so results can
+    # be scattered straight back to the original query order.
     qkeys = jnp.where(query_mask, query_xyz[:, ref.axis], jnp.inf)
-    order = jnp.argsort(qkeys)
-    q_sorted = query_xyz[order]
-    qmask_sorted = query_mask[order]
-    qkeys_sorted = qkeys[order]
+    qkeys_sorted, qx, qy, qz, qm, qid = jax.lax.sort(
+        (qkeys, query_xyz[:, 0], query_xyz[:, 1], query_xyz[:, 2],
+         query_mask.astype(jnp.int32),
+         jnp.arange(q, dtype=jnp.int32)), num_keys=1, is_stable=True)
+    q_sorted = jnp.stack([qx, qy, qz], axis=1)
+    qmask_sorted = qm.astype(bool)
 
     # one window per group, centered on the group's median key
     med = qkeys_sorted.reshape(t, group)[:, group // 2]
@@ -226,6 +241,15 @@ def tiled_windowed_knn(query_xyz: Array, query_mask: Array, ref: SortedCloud,
     starts_per_q = jnp.repeat(start, group)
     idx_sorted = starts_per_q[:, None] + widx
 
-    # unsort back to the original query order
-    inv = jnp.argsort(order)
-    return idx_sorted[inv], top[inv]
+    # unsort back to the original query order: one scatter by the
+    # carried iota instead of argsort(order) + two gathers
+    idx_out = jnp.zeros((q, k), jnp.int32).at[qid].set(idx_sorted)
+    d2_out = jnp.full((q, k), jnp.inf, jnp.float32).at[qid].set(top)
+    if not return_neighbors:
+        return idx_out, d2_out
+
+    nbr = jax.vmap(lambda w, i: w[i])(
+        windows, widx.reshape(t, group, k))                # (T, G, k, 3)
+    nbr_out = (jnp.zeros((q, k, 3), jnp.float32)
+               .at[qid].set(nbr.reshape(q, k, 3)))
+    return idx_out, d2_out, nbr_out

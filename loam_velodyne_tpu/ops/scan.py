@@ -151,28 +151,33 @@ def ingest_sweep(raw: RawSweep, lidar: LidarConfig,
         swapped = project_to_sweep_start(swapped, rel * reg.scan_period,
                                          imu_window)
 
-    # Bucket by ring WITHOUT a sort: the reference's push_back order is
-    # (ring, arrival); the rank of a point within its ring is a counting
-    # prefix sum over a (N, R+1) ring one-hot — O(N*R) streaming work
-    # instead of an O(N log^2 N) bitonic sort, and the azimuth order is
-    # preserved exactly like the stable sort was.
+    # Bucket by ring with ONE stable payload-carrying sort: the
+    # reference's push_back order is (ring, arrival), which IS the
+    # stable sort of the sweep by ring id. The point payload rides the
+    # sort as extra lax.sort operands — no argsort row-gathers, and no
+    # wide (N, R+1) one-hot cumsum (a long-axis multi-column cumsum
+    # lowers to a reduce-window that scales pathologically under vmap:
+    # it was the single largest kernel of the batched-replay program).
     ring_key = jnp.where(valid, ring, r_rings)
-    onehot = (ring_key[:, None] ==
-              jnp.arange(r_rings + 1, dtype=jnp.int32)[None, :])
-    cs = jnp.cumsum(onehot.astype(jnp.int32), axis=0)       # (N, R+1)
-    rank = jnp.take_along_axis(cs, ring_key[:, None], axis=1)[:, 0] - 1
-    counts = cs[-1]                                          # (R+1,)
+    ring_s, x_s, y_s, z_s, rel_s, valid_s = jax.lax.sort(
+        (ring_key, swapped[:, 0], swapped[:, 1], swapped[:, 2], rel,
+         valid.astype(jnp.int32)), num_keys=1, is_stable=True)
+    valid_s = valid_s.astype(bool)
+    counts = jnp.zeros((r_rings + 1,), jnp.int32).at[ring_key].add(1)
     starts = jnp.concatenate([jnp.zeros((1,), jnp.int32),
                               jnp.cumsum(counts[:-1]).astype(jnp.int32)])
+    rank_s = jnp.arange(n, dtype=jnp.int32) \
+        - starts[jnp.clip(ring_s, 0, r_rings)]
+    keep_s = valid_s & (rank_s < p_cap)
 
-    keep = valid & (rank < p_cap)
     # One wide scatter of [xyz, rel, mask] into the (R, P) grid through
     # a flat index; dropped/invalid points land out of range and are
     # dropped by the scatter.
-    flat_idx = jnp.where(keep, ring_key * p_cap + rank, r_rings * p_cap)
+    xyz_s = jnp.stack([x_s, y_s, z_s], axis=1)
+    flat_idx = jnp.where(keep_s, ring_s * p_cap + rank_s, r_rings * p_cap)
     grid_payload = jnp.concatenate(
-        [swapped, rel[:, None], jnp.ones((n, 1), jnp.float32)], axis=1)
-    grid_payload = jnp.where(keep[:, None], grid_payload, 0.0)
+        [xyz_s, rel_s[:, None], jnp.ones((n, 1), jnp.float32)], axis=1)
+    grid_payload = jnp.where(keep_s[:, None], grid_payload, 0.0)
     grid_all = (jnp.zeros((r_rings * p_cap, 5), jnp.float32)
                 .at[flat_idx].set(grid_payload, mode="drop")
                 .reshape(r_rings, p_cap, 5))
@@ -181,23 +186,17 @@ def ingest_sweep(raw: RawSweep, lidar: LidarConfig,
     grid_mask = grid_all[..., 4] > 0.5
     grid_count = jnp.minimum(counts[:r_rings], p_cap)
 
-    # Flat ring-major full-resolution cloud (the reference's
-    # concatenated _laserCloud layout) via the same rank scatter.
-    dest = jnp.where(valid, starts[jnp.clip(ring_key, 0, r_rings)] + rank, n)
-    full_payload = jnp.concatenate(
-        [swapped, rel[:, None], ring_key[:, None].astype(jnp.float32),
-         keep[:, None].astype(jnp.float32)], axis=1)
-    full_payload = jnp.where(valid[:, None], full_payload, 0.0)
-    full_all = jnp.zeros((n, 6), jnp.float32).at[dest].set(
-        full_payload, mode="drop")
-    full_xyz = full_all[:, :3]
-    full_rel = full_all[:, 3]
-    full_ring = full_all[:, 4].astype(jnp.int32)
-    full_mask = full_all[:, 5] > 0.5
+    # The sorted rows ARE the flat ring-major full-resolution cloud
+    # (the reference's concatenated _laserCloud layout) — no second
+    # scatter needed. Masked rows are zeroed for consumers.
+    full_xyz = jnp.where(keep_s[:, None], xyz_s, 0.0)
+    full_rel = jnp.where(keep_s, rel_s, 0.0)
+    full_ring = jnp.where(keep_s, ring_s, 0)
+    full_mask = keep_s
 
     grid = RingGrid(xyz=grid_xyz, rel=grid_rel, mask=grid_mask,
                     count=grid_count,
-                    dropped=jnp.sum((valid & ~keep).astype(jnp.int32)))
+                    dropped=jnp.sum((valid_s & ~keep_s).astype(jnp.int32)))
     full = PointSet(xyz=full_xyz, rel=full_rel, ring=full_ring,
                     mask=full_mask)
     return grid, full

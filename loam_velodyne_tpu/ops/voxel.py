@@ -72,22 +72,26 @@ def voxel_downsample(ps: PointSet, leaf: float, capacity: int,
     # ones (each lexsort key is its own bitonic pass on TPU). Cells are
     # clipped into 10-bit per-axis ranges relative to the min corner —
     # beyond 1023 cells (~200-400 m extents at 0.2-0.4 m leaves) points
-    # would merge, far outside lidar range.
+    # would merge, far outside lidar range. The point payload rides the
+    # sort as extra operands: argsort-then-gather issued six random
+    # row-gathers here, and row-gathers (not the sort network) were the
+    # dominant cost of this function on TPU (PERF.md §1).
     cy = jnp.clip(cell[:, 1], -1, 1023)
     cz = jnp.clip(cell[:, 2], -1, 1023)
     cx = jnp.clip(cell[:, 0], -1, 1023)
     key_lo = (cy + 1) * 1025 + (cz + 1)
     key_hi = ((~mask).astype(jnp.int32) * (1 << 25)
               + (ring_key + 1) * (1 << 11) + (cx + 1))
-    order = jnp.lexsort((key_lo, key_hi))
-    cell_s = cell[order]
-    ring_s = ring_key[order]
-    mask_s = mask[order]
-    xyz_s = xyz[order]
-    rel_s = ps.rel[order]
-    real_ring_s = ps.ring[order]
+    kh, kl, x_s, y_s, z_s, rel_s, ring_f_s = jax.lax.sort(
+        (key_hi, key_lo, xyz[:, 0], xyz[:, 1], xyz[:, 2], ps.rel,
+         ps.ring.astype(jnp.float32)), num_keys=2, is_stable=True)
+    mask_s = kh < (1 << 25)
+    xyz_s = jnp.stack([x_s, y_s, z_s], axis=1)
+    real_ring_s = ring_f_s.astype(jnp.int32)
 
-    prev_differs = jnp.any(cell_s[1:] != cell_s[:-1], axis=1) | (ring_s[1:] != ring_s[:-1])
+    # The packed keys determine cell identity exactly (within the
+    # clipped range), so segment boundaries come straight from them.
+    prev_differs = (kh[1:] != kh[:-1]) | (kl[1:] != kl[:-1])
     seg_start = jnp.concatenate([jnp.ones((1,), bool), prev_differs]) & mask_s
     seg_id = jnp.cumsum(seg_start.astype(jnp.int32)) - 1
     seg_id = jnp.where(mask_s, seg_id, n - 1)  # shunt padding to last segment
@@ -107,8 +111,22 @@ def voxel_downsample(ps: PointSet, leaf: float, capacity: int,
     # first sorted position, then compact.
     vals = PointSet(xyz=centroid[seg_id], rel=rel_mean[seg_id],
                     ring=real_ring_s, mask=seg_start)
-    out = compact_pointset(vals, seg_start, capacity)
+
+    # Overflow policy: when occupied cells exceed the output capacity,
+    # keep EVENLY SPACED cells across the (ring, cx, cy, cz) sort order
+    # instead of truncating its tail — prefix truncation would silently
+    # drop entire upper rings / far-x slabs (seen on HDL-64E before the
+    # pool rescale), while even thinning degrades like a coarser leaf.
+    # (The reference's PCL VoxelGrid never drops; this only fires at
+    # capacity, and the dropped count is reported as telemetry.)
+    n_cells = jnp.sum(seg_start.astype(jnp.int32))
+    over = n_cells > capacity
+    ordinal = jnp.cumsum(seg_start.astype(jnp.int32)) - 1
+    ratio = jnp.float32(capacity) / jnp.maximum(n_cells, 1).astype(jnp.float32)
+    b_here = jnp.floor(ordinal.astype(jnp.float32) * ratio)
+    b_prev = jnp.floor((ordinal - 1).astype(jnp.float32) * ratio)
+    keep = seg_start & jnp.where(over, b_here != b_prev, True)
+    out = compact_pointset(vals, keep, capacity)
     if return_dropped:
-        n_cells = jnp.sum(seg_start.astype(jnp.int32))
         return out, jnp.maximum(n_cells - capacity, 0)
     return out

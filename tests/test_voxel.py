@@ -58,3 +58,17 @@ def test_capacity_truncation():
     xyz = np.arange(60, dtype=np.float32)[:, None] * np.array([1.0, 0, 0], np.float32)
     out = voxel_downsample(_ps(xyz), 0.1, 8)
     assert int(np.asarray(out.mask).sum()) == 8
+
+
+def test_capacity_overflow_spreads_evenly():
+    # 60 distinct cells along x into capacity 8: the survivors must span
+    # the whole extent (even thinning), not just the low-x prefix.
+    xyz = np.arange(60, dtype=np.float32)[:, None] * np.array([1.0, 0, 0], np.float32)
+    out, dropped = voxel_downsample(_ps(xyz), 0.1, 8, return_dropped=True)
+    m = np.asarray(out.mask)
+    assert int(m.sum()) == 8
+    assert int(np.asarray(dropped)) == 52
+    kept_x = np.sort(np.asarray(out.xyz)[m, 0])
+    assert kept_x[0] < 10.0 and kept_x[-1] > 50.0       # covers both ends
+    gaps = np.diff(kept_x)
+    assert gaps.max() <= 2.5 * gaps.min()               # roughly even
