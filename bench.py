@@ -86,11 +86,16 @@ def bench_single_stream(cfg, sweeps, gt, chunk, cap=CAP):
     state, outs = stream_step(state, chunks[0])          # warmup/compile
     fused = [np.asarray(outs.fused_pose)]
     tel = sum_telemetry(outs)
+    # Dispatch the whole stream asynchronously and block once at the
+    # end: a per-chunk readback pays one remote-tunnel round trip per
+    # chunk, which dominates (and wildly jitters) the measurement.
     t0 = time.perf_counter()
     for ch in chunks[1:]:
         state, outs = stream_step(state, ch)
-        fused.append(np.asarray(outs.fused_pose))
+        fused.append(outs.fused_pose)
+    jax.block_until_ready(fused[-1])
     stream_dt = time.perf_counter() - t0
+    fused = [np.asarray(f) for f in fused]
     for k in (t2 := sum_telemetry(outs)):
         tel[k] += t2[k]
     rate = (n_sweeps - chunk) / stream_dt
@@ -124,7 +129,7 @@ def bench_batched(cfg, sweeps, batch, chunk, cap=CAP):
 def main():
     full = "--full" in sys.argv
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    n_sweeps = int(args[0]) if len(args) > 0 else 24
+    n_sweeps = int(args[0]) if len(args) > 0 else 48
     batch = int(args[1]) if len(args) > 1 else 8
     chunk = 8
     assert n_sweeps % chunk == 0, "n_sweeps must be a multiple of 8"

@@ -119,6 +119,13 @@ def knn_sq_dist(query_xyz: Array, query_mask: Array, ref_xyz: Array,
 _FAR_SENTINEL = 1e8
 
 
+def _use_pallas_knn() -> bool:
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:
+        return False
+
+
 class SortedCloud(NamedTuple):
     """A point cloud sorted along one spatial axis for windowed search.
 
@@ -227,17 +234,27 @@ def tiled_windowed_knn(query_xyz: Array, query_mask: Array, ref: SortedCloud,
         lambda s: jax.lax.dynamic_slice(ref.xyz, (s, 0), (window, 3))
     )(start)                                               # (T, W, 3)
 
-    # difference form, not |q|^2 - 2qp + |p|^2: at map-frame coordinate
-    # scales (10^2 m) the expanded form's f32 cancellation error
-    # (~1e-2 m^2) would swamp sub-decimeter neighbor discrimination
     qg = q_sorted.reshape(t, group, 3)
-    d2 = jnp.zeros((t, group, window), jnp.float32)
-    for c in range(3):
-        diff = qg[:, :, None, c] - windows[:, None, :, c]
-        d2 = d2 + diff * diff
-    d2 = jnp.where(qmask_sorted.reshape(t, group)[:, :, None], d2, jnp.inf)
-
-    top, widx = jax.lax.approx_min_k(d2.reshape(q, window), k)
+    if _use_pallas_knn():
+        # Mosaic kernel: the (G, W) distance tile stays in VMEM and the
+        # exact top-k comes out directly — in XLA the tile round-trips
+        # HBM between the subtract/square fusion and approx_min_k.
+        from loam_velodyne_tpu.ops.pallas_knn import grouped_window_knn
+        d2k, colk = grouped_window_knn(qg, windows, k=k)
+        top = jnp.where(qmask_sorted[:, None], d2k.reshape(q, k), jnp.inf)
+        widx = colk.reshape(q, k)
+    else:
+        # difference form, not |q|^2 - 2qp + |p|^2: at map-frame
+        # coordinate scales (10^2 m) the expanded form's f32
+        # cancellation error (~1e-2 m^2) would swamp sub-decimeter
+        # neighbor discrimination
+        d2 = jnp.zeros((t, group, window), jnp.float32)
+        for c in range(3):
+            diff = qg[:, :, None, c] - windows[:, None, :, c]
+            d2 = d2 + diff * diff
+        d2 = jnp.where(qmask_sorted.reshape(t, group)[:, :, None], d2,
+                       jnp.inf)
+        top, widx = jax.lax.approx_min_k(d2.reshape(q, window), k)
     starts_per_q = jnp.repeat(start, group)
     idx_sorted = starts_per_q[:, None] + widx
 

@@ -107,10 +107,17 @@ def voxel_downsample(ps: PointSet, leaf: float, capacity: int,
     centroid = sums[:, :3] / denom[:, None]
     rel_mean = sums[:, 3] / denom
 
-    # One output row per segment: place the centroid at each segment's
-    # first sorted position, then compact.
-    vals = PointSet(xyz=centroid[seg_id], rel=rel_mean[seg_id],
-                    ring=real_ring_s, mask=seg_start)
+    # Work on the SEGMENT TABLE from here (row s = segment s): the
+    # former per-point form gathered centroid[seg_id]/rel_mean[seg_id]
+    # back to point rows only to mask all but the first row of each
+    # segment — two O(N) row-gathers for nothing. The segment's ring id
+    # comes from a segment_min (uniform within a segment when
+    # per_ring=True, which is the only consumer of the ring output).
+    ring_table = jax.ops.segment_min(
+        jnp.where(mask_s, real_ring_s, 1 << 30), seg_id, num_segments=n)
+    n_cells = jnp.sum(seg_start.astype(jnp.int32))
+    s_ord = jnp.arange(n, dtype=jnp.int32)
+    in_range = s_ord < n_cells
 
     # Overflow policy: when occupied cells exceed the output capacity,
     # keep EVENLY SPACED cells across the (ring, cx, cy, cz) sort order
@@ -119,13 +126,14 @@ def voxel_downsample(ps: PointSet, leaf: float, capacity: int,
     # pool rescale), while even thinning degrades like a coarser leaf.
     # (The reference's PCL VoxelGrid never drops; this only fires at
     # capacity, and the dropped count is reported as telemetry.)
-    n_cells = jnp.sum(seg_start.astype(jnp.int32))
     over = n_cells > capacity
-    ordinal = jnp.cumsum(seg_start.astype(jnp.int32)) - 1
     ratio = jnp.float32(capacity) / jnp.maximum(n_cells, 1).astype(jnp.float32)
-    b_here = jnp.floor(ordinal.astype(jnp.float32) * ratio)
-    b_prev = jnp.floor((ordinal - 1).astype(jnp.float32) * ratio)
-    keep = seg_start & jnp.where(over, b_here != b_prev, True)
+    b_here = jnp.floor(s_ord.astype(jnp.float32) * ratio)
+    b_prev = jnp.floor((s_ord - 1).astype(jnp.float32) * ratio)
+    keep = in_range & jnp.where(over, b_here != b_prev, True)
+
+    vals = PointSet(xyz=centroid, rel=rel_mean,
+                    ring=jnp.where(in_range, ring_table, 0), mask=keep)
     out = compact_pointset(vals, keep, capacity)
     if return_dropped:
         return out, jnp.maximum(n_cells - capacity, 0)
