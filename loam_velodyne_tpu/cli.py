@@ -21,6 +21,7 @@ from __future__ import annotations
 import argparse
 import dataclasses
 import json
+import os
 import sys
 import time
 
@@ -134,8 +135,11 @@ def cmd_run(args):
 
 def cmd_bench(args):
     import subprocess
-    sys.exit(subprocess.call([sys.executable, "bench.py",
-                              str(args.sweeps)]))
+    bench = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "bench.py")
+    if not os.path.exists(bench):
+        bench = "bench.py"          # source checkout fallback
+    sys.exit(subprocess.call([sys.executable, bench, str(args.sweeps)]))
 
 
 def cmd_profile(args):
