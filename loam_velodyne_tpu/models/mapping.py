@@ -283,7 +283,10 @@ def insert_into_local_slabs(local_xyz: Array, local_cnt: Array, pts: Array,
         num_keys=1, is_stable=True)
     ok_s = ok_si.astype(bool)
     pts_s = jnp.stack([px, py, pz], axis=1)
-    counts = jnp.zeros((l + 1,), jnp.int32).at[lidx].add(1)
+    # Histograms as dense one-hot reduces (scatter-adds into ~126 bins
+    # serialize row-by-row on TPU; see ops/scan.py ingest note).
+    bins = jnp.arange(l + 1, dtype=jnp.int32)[None, :]
+    counts = jnp.sum((lidx[:, None] == bins).astype(jnp.int32), axis=0)
     starts = jnp.concatenate([jnp.zeros((1,), jnp.int32),
                               jnp.cumsum(counts[:-1]).astype(jnp.int32)])
     rank = jnp.arange(pts.shape[0], dtype=jnp.int32) \
@@ -295,8 +298,8 @@ def insert_into_local_slabs(local_xyz: Array, local_cnt: Array, pts: Array,
                .at[flat].set(jnp.where(keep[:, None], pts_s, 0.0),
                              mode="drop")
                .reshape(l, cap, 3))
-    added = jnp.zeros((l + 1,), jnp.int32).at[lidx_s].add(
-        keep.astype(jnp.int32))
+    added = jnp.sum(((lidx_s[:, None] == bins) & keep[:, None])
+                    .astype(jnp.int32), axis=0)
     new_cnt = jnp.minimum(local_cnt + added[:l], cap)
     dropped = jnp.sum(mask.astype(jnp.int32)) - jnp.sum(keep.astype(jnp.int32))
     return new_xyz, new_cnt, added[:l] > 0, dropped
