@@ -240,7 +240,11 @@ class Capacities:
         sharp = _round_up(r * n * reg.max_corner_sharp, 128)
         less_sharp = _round_up(r * n * reg.max_corner_less_sharp, 128)
         flat = _round_up(r * n * reg.max_surface_flat, 128)
-        less_flat = _round_up(min(r * 512, 8192), 128)
+        # 8192 cells suffice through 32 rings (HDL-32 telemetry shows
+        # zero drops); 64-ring sensors occupy ~14k cells/sweep at the
+        # 0.2 m leaf, so they get double the budget instead of shedding
+        # ~43% of the less-flat cloud through the even-thin policy.
+        less_flat = _round_up(min(r * 512, 8192 if r <= 32 else 16384), 128)
         full = _round_up(r * lidar.max_points_per_ring, 128)
         ncubes = min(mapping.n_neighborhood_cubes, mapping.max_active_cubes)
         # Pool scales with ring count: a fixed 16384 overflowed by

@@ -100,9 +100,14 @@ def relative_times(swapped: Array, mask: Array,
                         jnp.where(ori > start_ori + 3 * half_pi, ori - two_pi, ori))
     # halfPassed flips permanently once a (valid) point exceeds startOri + pi;
     # the flipping point itself is still processed with the pre branch, so the
-    # flag for point i is an EXCLUSIVE cumulative-or over points < i.
-    crossed = ((ori_pre - start_ori > pi) & crossing_mask).astype(jnp.int32)
-    half_passed = (jnp.cumsum(crossed) - crossed) > 0
+    # flag for point i is an EXCLUSIVE cumulative-or over points < i —
+    # equivalently "i is past the FIRST crossing", which is one argmax
+    # reduction instead of an N-long prefix scan (whose reduce-window
+    # lowering is disproportionately slow on TPU, PERF.md §9).
+    crossed = (ori_pre - start_ori > pi) & crossing_mask
+    first_cross = jnp.argmax(crossed)            # first True (0 if none)
+    n_pts = crossed.shape[0]
+    half_passed = jnp.any(crossed) & (jnp.arange(n_pts) > first_cross)
 
     # Post-half branch: window ori + 2pi into [endOri - 3pi/2, endOri + pi/2).
     ori_post = ori + two_pi
