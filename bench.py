@@ -126,6 +126,28 @@ def bench_batched(cfg, sweeps, batch, chunk, cap=CAP):
     return batch * (n_sweeps - chunk) / thr_dt
 
 
+def bench_live_latency(cfg, sweeps, n=12, cap=CAP):
+    """Per-sweep live-mode latency (one dispatch + sync per sweep, the
+    online/sensor-following path): returns (p50_ms, p99_ms)."""
+    step = jax.jit(lambda s, r: engine_mod.step(s, r, cfg),
+                   donate_argnums=(0,))
+    state = engine_mod.EngineState.create(cfg)
+    raws = []
+    for pts in sweeps[:n]:
+        cx, cm = pad_chunk([pts], cap)
+        raws.append(RawSweep(jnp.asarray(cx[0]), jnp.asarray(cm[0])))
+    state, outs = step(state, raws[0])                  # warmup/compile
+    jax.block_until_ready(outs.fused_pose)
+    lat = []
+    for raw in raws[1:]:
+        t0 = time.perf_counter()
+        state, outs = step(state, raw)
+        jax.block_until_ready(outs.fused_pose)
+        lat.append(1e3 * (time.perf_counter() - t0))
+    lat.sort()
+    return lat[len(lat) // 2], lat[-1]
+
+
 def main():
     full = "--full" in sys.argv
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
@@ -140,6 +162,7 @@ def main():
 
     stream_rate, ate, tel = bench_single_stream(cfg, sweeps, gt, chunk)
     throughput = bench_batched(cfg, sweeps, batch, chunk)
+    live_p50, live_p99 = bench_live_latency(cfg, sweeps)
 
     print(json.dumps({
         "metric": "vlp16_full_pipeline_throughput",
@@ -153,6 +176,8 @@ def main():
             "batch": batch,
             "chunk": chunk,
             "ate_aligned_m": round(ate, 4),
+            "live_step_ms_p50": round(live_p50, 1),
+            "live_step_ms_max": round(live_p99, 1),
             "n_sweeps": n_sweeps - chunk,
             "telemetry": tel,
             "device": str(jax.devices()[0]),
