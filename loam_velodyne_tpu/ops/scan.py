@@ -180,21 +180,25 @@ def ingest_sweep(raw: RawSweep, lidar: LidarConfig,
         - starts[jnp.clip(ring_s, 0, r_rings)]
     keep_s = valid_s & (rank_s < p_cap)
 
-    # One wide scatter of [xyz, rel, mask] into the (R, P) grid through
-    # a flat index; dropped/invalid points land out of range and are
-    # dropped by the scatter.
+    # The (R, P) ring grid is R contiguous dynamic_slice windows of the
+    # ring-sorted cloud (ring r's points occupy sorted rows
+    # starts[r]..starts[r]+count) — no scatter at all. The cloud is
+    # padded by one window so a slice starting at the last ring's
+    # offset never clamps (XLA clamps out-of-range starts, which would
+    # misalign the rows).
     xyz_s = jnp.stack([x_s, y_s, z_s], axis=1)
-    flat_idx = jnp.where(keep_s, ring_s * p_cap + rank_s, r_rings * p_cap)
-    grid_payload = jnp.concatenate(
-        [xyz_s, rel_s[:, None], jnp.ones((n, 1), jnp.float32)], axis=1)
-    grid_payload = jnp.where(keep_s[:, None], grid_payload, 0.0)
-    grid_all = (jnp.zeros((r_rings * p_cap, 5), jnp.float32)
-                .at[flat_idx].set(grid_payload, mode="drop")
-                .reshape(r_rings, p_cap, 5))
+    pay_s = jnp.concatenate([xyz_s, rel_s[:, None]], axis=1)     # (n, 4)
+    pay_pad = jnp.concatenate(
+        [pay_s, jnp.zeros((p_cap, 4), jnp.float32)], axis=0)
+    grid_all = jnp.stack([
+        jax.lax.dynamic_slice(pay_pad, (starts[r], 0), (p_cap, 4))
+        for r in range(r_rings)])                                # (R, P, 4)
+    grid_count = jnp.minimum(counts[:r_rings], p_cap)
+    grid_mask = (jnp.arange(p_cap, dtype=jnp.int32)[None, :]
+                 < grid_count[:, None])
+    grid_all = jnp.where(grid_mask[..., None], grid_all, 0.0)
     grid_xyz = grid_all[..., :3]
     grid_rel = grid_all[..., 3]
-    grid_mask = grid_all[..., 4] > 0.5
-    grid_count = jnp.minimum(counts[:r_rings], p_cap)
 
     # The sorted rows ARE the flat ring-major full-resolution cloud
     # (the reference's concatenated _laserCloud layout) — no second
