@@ -18,9 +18,16 @@ Measured modes:
   accuracy (aligned ATE vs simulator ground truth), and the engine's
   overflow-telemetry drop counts for the run.
 
-`python bench.py --full` additionally times BASELINE configs #2-#4
-(odometry-only ablation, HDL-32, HDL-64E) and emits one JSON line per
-config after the headline line.
+Plain `python bench.py` (what the driver runs) ALSO times BASELINE
+configs #2-#4 (odometry-only ablation, HDL-32, HDL-64E) and emits one
+JSON line per config after the headline line, so the driver artifact
+carries the whole BASELINE matrix (VERDICT round 2, task 6).
+`--headline-only` skips them.
+
+The benchmark sequence is deliberately non-trivial: range noise
+(noise_std=0.005) and a sustained turning trajectory — a noiseless
+straight corridor under-tests rotation estimation (VERDICT round 2,
+weak 3).
 """
 
 import json
@@ -127,29 +134,20 @@ def bench_batched(cfg, sweeps, batch, chunk, cap=CAP):
 
 
 def bench_live_latency(cfg, sweeps, n=12, cap=CAP):
-    """Per-sweep live-mode latency (one dispatch + sync per sweep, the
-    online/sensor-following path): returns (p50_ms, p99_ms)."""
-    step = jax.jit(lambda s, r: engine_mod.step(s, r, cfg),
-                   donate_argnums=(0,))
-    state = engine_mod.EngineState.create(cfg)
-    raws = []
-    for pts in sweeps[:n]:
-        cx, cm = pad_chunk([pts], cap)
-        raws.append(RawSweep(jnp.asarray(cx[0]), jnp.asarray(cm[0])))
-    state, outs = step(state, raws[0])                  # warmup/compile
-    jax.block_until_ready(outs.fused_pose)
-    lat = []
-    for raw in raws[1:]:
-        t0 = time.perf_counter()
-        state, outs = step(state, raw)
-        jax.block_until_ready(outs.fused_pose)
-        lat.append(1e3 * (time.perf_counter() - t0))
-    lat.sort()
+    """Per-sweep live-mode latency through the driver's double-buffered
+    loop (LoamDriver.run_live: sweep N+1's host pad + transfer overlap
+    step N's device execution; only the pose readback is on the
+    per-sweep critical path): returns (p50_ms, max_ms)."""
+    from loam_velodyne_tpu.io.driver import LoamDriver
+
+    drv = LoamDriver(cfg, sweep_capacity=cap, system_delay=0)
+    drv.process_sweep(sweeps[0])                        # warmup/compile
+    lat = sorted(1e3 * t for t in drv.run_live(sweeps[1:n]))
     return lat[len(lat) // 2], lat[-1]
 
 
 def main():
-    full = "--full" in sys.argv
+    full = "--headline-only" not in sys.argv
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     n_sweeps = int(args[0]) if len(args) > 0 else 48
     batch = int(args[1]) if len(args) > 1 else 8
@@ -157,8 +155,10 @@ def main():
     assert n_sweeps % chunk == 0, "n_sweeps must be a multiple of 8"
     cfg = LoamConfig.preset("VLP-16")
 
+    traj = synthetic.turning_trajectory(speed=1.0)
     sweeps, gt, _ = synthetic.generate_sequence(n_sweeps, n_azimuth=900,
-                                                speed=1.0)
+                                                speed=1.0, noise_std=0.005,
+                                                traj=traj)
 
     stream_rate, ate, tel = bench_single_stream(cfg, sweeps, gt, chunk)
     throughput = bench_batched(cfg, sweeps, batch, chunk)
@@ -198,9 +198,10 @@ def main():
     for name in ("HDL-32", "HDL-64E"):
         lcfg = LoamConfig.preset(name)
         lsweeps, lgt, _ = synthetic.generate_sequence(
-            n_sweeps, lidar=lcfg.lidar, n_azimuth=900, speed=1.0)
+            n_sweeps, lidar=lcfg.lidar, n_azimuth=900, speed=1.0,
+            noise_std=0.005, traj=traj)
         rate, late, ltel = bench_single_stream(lcfg, lsweeps, lgt, chunk,
-                                               cap=65536)
+                                               cap=lcfg.capacities.full_cloud)
         key = name.lower().replace("-", "")
         print(json.dumps({"metric": f"{key}_full_pipeline", "value": round(rate, 2),
                           "unit": "sweeps/s", "vs_baseline": round(rate / 10, 3),

@@ -67,9 +67,25 @@ def _load_sweeps(args, cfg):
         sweeps, times = read_bag_sweeps(args.path, topic=args.topic)
         return sweeps, None, times
     if args.source == "pcap":
-        from loam_velodyne_tpu.io.pcap import read_pcap_sweeps
-        sweeps, times = read_pcap_sweeps(args.path, cfg.lidar)
+        from loam_velodyne_tpu.io.pcap import (load_calibration,
+                                               read_pcap_sweeps)
+        calib = (load_calibration(args.calibration)
+                 if getattr(args, "calibration", None) else None)
+        sweeps, times = read_pcap_sweeps(args.path, cfg.lidar,
+                                         calibration=calib)
         return sweeps, None, times
+    if args.source == "kitti":
+        # KITTI odometry sequence dir of %06d.bin scans (+ optional
+        # ground-truth poses file -> ATE/RPE in the report). One-command
+        # external validation: loam-tpu run --source kitti --path
+        # <seq>/velodyne --gt-poses <seq>.txt --lidar HDL-64E
+        from loam_velodyne_tpu.io import kitti
+        sweeps, times = kitti.read_sequence(args.path, limit=args.sweeps)
+        gt = None
+        if args.gt_poses:
+            poses = kitti.read_poses(args.gt_poses)
+            gt = kitti.poses_to_loam_positions(poses)[:len(sweeps)]
+        return sweeps, gt, times
     raise SystemExit(f"unknown source {args.source}")
 
 
@@ -181,9 +197,14 @@ def main(argv=None):
     sub = p.add_subparsers(dest="cmd", required=True)
 
     runp = sub.add_parser("run", help="run the pipeline over a sweep source")
-    runp.add_argument("--source", choices=["synthetic", "bag", "pcap"],
+    runp.add_argument("--source",
+                      choices=["synthetic", "bag", "pcap", "kitti"],
                       default="synthetic")
-    runp.add_argument("--path", help="input file for bag/pcap sources")
+    runp.add_argument("--path", help="input file/dir for bag/pcap/kitti")
+    runp.add_argument("--gt-poses",
+                      help="KITTI ground-truth poses file (ATE/RPE report)")
+    runp.add_argument("--calibration",
+                      help="per-unit laser calibration (JSON/YAML) for pcap")
     runp.add_argument("--topic", default="/velodyne_points")
     runp.add_argument("--imu-topic", default="/imu/data")
     runp.add_argument("--out-plot", help="write trajectory PNG here")

@@ -168,9 +168,34 @@ class MappingConfig:
     min_corner_map_points: int = 10
     min_surface_map_points: int = 100
     min_selected: int = 50
-    # Fixed per-cube point capacities (TPU slab layout).
-    corner_cube_capacity: int = 320
-    surf_cube_capacity: int = 768
+    # Fixed per-cube point capacities (TPU slab layout). Sized so the
+    # post-thin equilibrium occupancy (leaf-spaced points over the part
+    # of a 50 m cube the sensor has actually observed) fits with margin:
+    # round-2 telemetry showed the surf slabs overflowing at 768 on the
+    # flagship corridor (~12k points lost over 40 sweeps, BENCH_r02).
+    corner_cube_capacity: int = 640
+    surf_cube_capacity: int = 1536
+    # Insert headroom: inserts land in working slabs padded by this many
+    # rows, the re-thin runs on the padded slabs, and only the post-thin
+    # result is clipped to capacity — so transient over-capacity bursts
+    # are evicted by thinning, not truncation.
+    insert_headroom: int = 512
+    # Per-frame budget for the whole-window far-point path (points
+    # beyond the +-neighborhood cubes, i.e. ranges > 125 m; the
+    # reference keeps them via push_back, BasicLaserMapping.cpp:536-577).
+    far_insert_budget: int = 256
+    # Archive pool: saturated-geometry overflow tier. A 50 m corridor
+    # cube wants ~8k surf points at the 0.4 m leaf (walls + floor +
+    # ceiling) — no practical slab capacity holds that, so post-thin
+    # slab tails spill into a global fixed pool instead of being
+    # dropped: the slab stays the bounded SEARCH tier, the archive
+    # keeps the map lossless (reference push_back keeps everything,
+    # BasicLaserMapping.cpp:536-577). Archived rows remember their cube
+    # and are cleared when the rolling window recenters past it, like
+    # the reference's shift loops (:311-441).
+    archive_capacity: int = 262144
+    archive_cubes_per_frame: int = 8     # top over-capacity cubes spilled
+    archive_append_budget: int = 2048    # rows archived per frame per kind
     fov_half_aperture_term: float = 100.0  # FOV check constant (BasicLaserMapping.cpp:477-481)
     # Downsampled feature-stack capacities (inputs to the map GN).
     corner_stack_capacity: int = 2048
@@ -230,8 +255,7 @@ class Capacities:
     less_flat: int = 8192     # downsampled less-flat points per sweep
     less_flat_pool: int = 16384  # pre-voxel candidate pool (compacted)
     full_cloud: int = 40960   # full-resolution reprojected sweep
-    map_corner_search: int = 0   # filled in derive()
-    map_surf_search: int = 0
+    #   (= the driver's default host-side sweep padding capacity)
 
     @staticmethod
     def for_lidar(lidar: LidarConfig, reg: RegistrationConfig,
@@ -246,7 +270,6 @@ class Capacities:
         # ~43% of the less-flat cloud through the even-thin policy.
         less_flat = _round_up(min(r * 512, 8192 if r <= 32 else 16384), 128)
         full = _round_up(r * lidar.max_points_per_ring, 128)
-        ncubes = min(mapping.n_neighborhood_cubes, mapping.max_active_cubes)
         # Pool scales with ring count: a fixed 16384 overflowed by
         # ~12k points/sweep on HDL-32 (caught by overflow telemetry).
         pool = min(full, _round_up(max(16384, r * 1024), 128))
@@ -254,8 +277,6 @@ class Capacities:
             sharp=sharp, less_sharp=less_sharp, flat=flat,
             less_flat=less_flat, less_flat_pool=pool,
             full_cloud=full,
-            map_corner_search=ncubes * mapping.corner_cube_capacity,
-            map_surf_search=ncubes * mapping.surf_cube_capacity,
         )
 
 

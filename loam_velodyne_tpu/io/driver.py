@@ -30,12 +30,16 @@ class LoamDriver:
     """Owns the engine state and the host<->device boundary."""
 
     def __init__(self, cfg: Optional[LoamConfig] = None,
-                 sweep_capacity: int = 32768,
+                 sweep_capacity: Optional[int] = None,
                  system_delay: Optional[int] = None,
                  checkpoint_path: Optional[str] = None,
                  checkpoint_every: int = 0):
         self.cfg = cfg or LoamConfig.preset("VLP-16")
-        self.sweep_capacity = sweep_capacity
+        # Default host padding = the sensor's full-cloud capacity
+        # (rings x max_points_per_ring), so HDL-32/64E sweeps aren't
+        # silently truncated to a VLP-16-sized buffer.
+        self.sweep_capacity = (self.cfg.capacities.full_cloud
+                               if sweep_capacity is None else sweep_capacity)
         self.system_delay = (self.cfg.registration.system_delay
                              if system_delay is None else system_delay)
         # Elastic restart (the reference's respawn="true" only relaunches
@@ -68,6 +72,12 @@ class LoamDriver:
         self.surround_map = None          # (xyz (N,3), mask (N,)) numpy
         self.surround_count = 0
         self._surround_fn = None
+        # Archive-pool compaction (models.mapping.compact_archive):
+        # checked every _compact_check_every sweeps (the cursor readback
+        # costs a tunnel round trip), run when the pool passes 3/4.
+        self._compact_fn = None
+        self._compact_check_every = 64
+        self._sweeps_since_compact_check = 0
 
     # ------------------------------------------------------------------
     # Feeding
@@ -96,22 +106,26 @@ class LoamDriver:
             self.state, outs = self._step_imu(self.state, raw, win)
         else:
             self.state, outs = self._step(self.state, raw)
-        fused = np.asarray(outs.fused_pose)
+        # ONE batched device->host transfer for the whole output pytree:
+        # each separate np.asarray costs a remote-tunnel round trip, and
+        # the poses + 7 telemetry counters added up to ~10 RTTs/sweep.
+        outs = jax.device_get(outs)
         dt = time.perf_counter() - t0
         self.step_times.append(dt)
         self.metrics.record("step", dt)
         self._record_telemetry(outs.telemetry)
-        self.trajectory.append(fused)
-        self.odom_trajectory.append(np.asarray(outs.odom_pose))
-        self.mapped_trajectory.append(np.asarray(outs.mapped_pose))
-        if bool(np.asarray(outs.surround_due)):
+        self.trajectory.append(outs.fused_pose)
+        self.odom_trajectory.append(outs.odom_pose)
+        self.mapped_trajectory.append(outs.mapped_pose)
+        if bool(outs.surround_due):
             self._build_surround()
         if (self.checkpoint_path and self.checkpoint_every
                 and len(self.trajectory) % self.checkpoint_every == 0):
             self.save_checkpoint(self.checkpoint_path)
         return outs
 
-    def _record_telemetry(self, tel: engine_mod.Telemetry) -> None:
+    def _record_telemetry(self, tel: engine_mod.Telemetry,
+                          n_sweeps: int = 1) -> None:
         """Accumulate the engine's overflow counters (scalars, or (K,)
         stacks from chunked runs) into the metrics registry."""
         flat = {
@@ -125,6 +139,30 @@ class LoamDriver:
         }
         for name, v in flat.items():
             self.metrics.count(name, int(np.sum(np.asarray(v))))
+        self._sweeps_since_compact_check += n_sweeps
+        if self._sweeps_since_compact_check >= self._compact_check_every:
+            self._sweeps_since_compact_check = 0
+            self._maybe_compact_archive()
+
+    def _maybe_compact_archive(self) -> None:
+        """Dedup-compact the map archive pool when it passes 3/4 full
+        (evict/re-observe churn appends duplicate voxel cells; see
+        models.mapping.compact_archive)."""
+        from loam_velodyne_tpu.models import mapping as mapping_mod
+        mcfg = self.cfg.mapping
+        ms = self.state.mapping
+        if int(np.asarray(ms.archive_cnt)) <= 3 * mcfg.archive_capacity // 4:
+            return
+        if self._compact_fn is None:
+            self._compact_fn = jax.jit(
+                lambda pool: mapping_mod.compact_archive(pool, mcfg))
+        pool = (ms.archive_xyz, ms.archive_sidx, ms.archive_kind,
+                ms.archive_valid, ms.archive_cnt)
+        xyz, sidx, kind, valid, cnt = self._compact_fn(pool)
+        self.state = self.state._replace(mapping=ms._replace(
+            archive_xyz=xyz, archive_sidx=sidx, archive_kind=kind,
+            archive_valid=valid, archive_cnt=cnt))
+        self.metrics.count("archive_compactions")
 
     def _build_surround(self) -> None:
         """Assemble the downsized surround map from the current state
@@ -162,6 +200,46 @@ class LoamDriver:
         for pts in sweeps:
             self.process_sweep(pts)
         return self.positions()
+
+    def run_live(self, sweeps: Iterable[np.ndarray]) -> List[float]:
+        """Latency-oriented live loop with host double-buffering: pad +
+        transfer sweep N+1 while sweep N's step executes on device, so
+        the per-sweep critical path is (dispatch + compute + pose
+        readback) only — the host prep and host->device copy of the
+        next sweep ride under the current step (PERF.md lever 3).
+        Returns per-sweep wall latencies in seconds; trajectories and
+        telemetry are recorded as in process_sweep."""
+        it = iter(sweeps)
+        try:
+            cur = self.pad_sweep(next(it))
+        except StopIteration:
+            return []
+        lat: List[float] = []
+        done = False
+        while not done:
+            t0 = time.perf_counter()
+            self.state, outs = self._step(self.state, cur)
+            # enqueue the output readback FIRST — the remote tunnel is a
+            # FIFO, so issuing the next sweep's host->device copy before
+            # the readback would put a full transfer on the readback's
+            # critical path
+            for leaf in jax.tree_util.tree_leaves(outs):
+                leaf.copy_to_host_async()
+            # overlap: stage the NEXT sweep while the device runs this one
+            try:
+                cur = self.pad_sweep(next(it))
+            except StopIteration:
+                done = True
+            outs = jax.device_get(outs)                # sync point
+            dt = time.perf_counter() - t0
+            lat.append(dt)
+            self.step_times.append(dt)
+            self.metrics.record("step", dt)
+            self._record_telemetry(outs.telemetry)
+            self.trajectory.append(outs.fused_pose)
+            self.odom_trajectory.append(outs.odom_pose)
+            self.mapped_trajectory.append(outs.mapped_pose)
+        return lat
 
     def run_chunked(self, sweeps: List[np.ndarray], chunk: int = 8,
                     stamps: Optional[List[float]] = None) -> np.ndarray:
@@ -209,17 +287,16 @@ class LoamDriver:
                                                          stacked)
             else:
                 self.state, outs = self._chunk_step[key](self.state, raws)
-            fused = np.asarray(outs.fused_pose)
+            outs = jax.device_get(outs)      # one batched transfer
             self.step_times.append((time.perf_counter() - t0) / k)
-            self._record_telemetry(outs.telemetry)
+            self._record_telemetry(outs.telemetry, n_sweeps=k)
             for i in range(k):
-                self.trajectory.append(fused[i])
-                self.odom_trajectory.append(np.asarray(outs.odom_pose)[i])
-                self.mapped_trajectory.append(
-                    np.asarray(outs.mapped_pose)[i])
+                self.trajectory.append(outs.fused_pose[i])
+                self.odom_trajectory.append(outs.odom_pose[i])
+                self.mapped_trajectory.append(outs.mapped_pose[i])
             # surround cadence in chunked mode: build once per chunk if
             # any sweep in it was a publish frame (latest state).
-            if bool(np.any(np.asarray(outs.surround_due))):
+            if bool(np.any(outs.surround_due)):
                 self._build_surround()
         return self.positions()
 
@@ -257,16 +334,28 @@ class LoamDriver:
                 self.process_sweep(payload, stamp)
         return self.positions()
 
-    def registered_cloud(self, pts: np.ndarray):
+    def registered_cloud(self, pts: np.ndarray,
+                         stamp: Optional[float] = None):
         """Full-resolution sweep registered into the map frame — the
         per-frame /velodyne_cloud_registered output (reference
         BasicLaserMapping.cpp:235-240). Call with the sweep that was
-        just processed; uses the current engine state."""
-        if not hasattr(self, "_registered_fn"):
-            self._registered_fn = jax.jit(
-                lambda st, raw: engine_mod.registered_cloud(st, raw,
-                                                            self.cfg))
-        ps = self._registered_fn(self.state, self.pad_sweep(pts))
+        just processed; uses the current engine state. With an attached
+        imu_tracker and a stamp, the cloud is IMU-deskewed exactly like
+        the processed sweep was."""
+        if self.imu_tracker is not None and stamp is not None:
+            if not hasattr(self, "_registered_imu_fn"):
+                self._registered_imu_fn = jax.jit(
+                    lambda st, raw, win: engine_mod.registered_cloud(
+                        st, raw, self.cfg, win))
+            win = self.imu_tracker.window_for_sweep(stamp)
+            ps = self._registered_imu_fn(self.state, self.pad_sweep(pts),
+                                         win)
+        else:
+            if not hasattr(self, "_registered_fn"):
+                self._registered_fn = jax.jit(
+                    lambda st, raw: engine_mod.registered_cloud(st, raw,
+                                                                self.cfg))
+            ps = self._registered_fn(self.state, self.pad_sweep(pts))
         return np.asarray(ps.xyz), np.asarray(ps.mask)
 
     # ------------------------------------------------------------------

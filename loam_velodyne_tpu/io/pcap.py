@@ -53,6 +53,11 @@ _FLAG_LOWER = 0xDDFF
 
 _PRODUCT_IDS = {0x22: "VLP-16", 0x21: "HDL-32"}
 
+# Factory byte 1204: return mode (VLP-16/HDL-32 manuals).
+RETURN_STRONGEST = 0x37
+RETURN_LAST = 0x38
+RETURN_DUAL = 0x39
+
 
 def detect_model(payload: bytes) -> str:
     """Sensor model of one 1206-byte payload."""
@@ -62,6 +67,36 @@ def detect_model(payload: bytes) -> str:
             return "HDL-64E"
     pid = payload[1205]
     return _PRODUCT_IDS.get(pid, "VLP-16")
+
+
+def detect_return_mode(payload: bytes) -> int:
+    """Return-mode factory byte (0x37 strongest / 0x38 last / 0x39
+    dual). Pre-factory-byte sensors (HDL-64E) read as single-return."""
+    mode = payload[1204]
+    return mode if mode in (RETURN_STRONGEST, RETURN_LAST, RETURN_DUAL) \
+        else RETURN_STRONGEST
+
+
+def load_calibration(path: str) -> np.ndarray:
+    """Per-unit laser calibration -> elevation table (deg), laser order.
+
+    Accepts either a JSON file {"elevations_deg": [...]} or a
+    velodyne_pointcloud-style YAML with `vert_correction` radians per
+    laser (parsed textually — no yaml dependency in this image).
+    """
+    import json as _json
+    import re
+    text = open(path).read()
+    try:
+        data = _json.loads(text)
+        return np.asarray(data["elevations_deg"], np.float64)
+    except (ValueError, KeyError):
+        pass
+    vert = [float(m) for m in re.findall(
+        r"vert_correction:\s*([-+0-9.eE]+)", text)]
+    if not vert:
+        raise ValueError(f"{path}: no elevations_deg / vert_correction")
+    return np.degrees(np.asarray(vert, np.float64))
 
 
 def _block_ranges(blk: bytes) -> np.ndarray:
@@ -86,13 +121,35 @@ def _project(d: np.ndarray, elev_deg: np.ndarray, az_deg: float,
     azs.append(np.full(int(ok.sum()), az_deg))
 
 
-def _decode_payload(payload: bytes, model: Optional[str] = None
+def _decode_payload(payload: bytes, model: Optional[str] = None,
+                    calibration: Optional[np.ndarray] = None
                     ) -> Tuple[np.ndarray, np.ndarray]:
-    """One 1206-byte payload -> (xyz (M,3), azimuth_deg (M,))."""
+    """One 1206-byte payload -> (xyz (M,3), azimuth_deg (M,)).
+
+    Dual-return captures (factory byte 0x39): blocks arrive in
+    same-azimuth pairs, even = last return, odd = strongest return of
+    the same firing sequence; the strongest-return block of each pair
+    is kept so downstream framing matches single-return captures (the
+    velodyne_pointcloud driver's default ring output).
+    calibration: per-unit elevation table (deg) in laser order
+    (load_calibration), overriding the nominal datasheet tables.
+    """
     if model is None:
         model = detect_model(payload)
+    dual = model in ("VLP-16", "HDL-32") \
+        and detect_return_mode(payload) == RETURN_DUAL
+
+    def elev_table(nominal, bank=None):
+        if calibration is None:
+            return nominal
+        if bank == "lower":
+            return calibration[32:64]
+        return calibration[:len(nominal)]
+
     pts, azs = [], []
     for b in range(12):
+        if dual and b % 2 == 0:
+            continue                  # keep the strongest-return block
         blk = payload[b * 100:(b + 1) * 100]
         (flag, az_raw) = struct.unpack_from("<HH", blk, 0)
         if flag not in (_FLAG_UPPER, _FLAG_LOWER):
@@ -100,9 +157,12 @@ def _decode_payload(payload: bytes, model: Optional[str] = None
         az0 = az_raw / 100.0
         dist = _block_ranges(blk)
         if model == "VLP-16":
-            if b + 1 < 12:
+            # next distinct-azimuth block: +1 in single-return framing,
+            # +2 in dual (pairs share an azimuth)
+            stride = 2 if dual else 1
+            if b + stride < 12:
                 az1 = struct.unpack_from(
-                    "<H", payload, (b + 1) * 100 + 2)[0] / 100.0
+                    "<H", payload, (b + stride) * 100 + 2)[0] / 100.0
                 if az1 < az0:
                     az1 += 360.0
             else:
@@ -110,19 +170,23 @@ def _decode_payload(payload: bytes, model: Optional[str] = None
             for firing in range(2):
                 az = az0 + (az1 - az0) * 0.5 * firing
                 _project(dist[firing * 16:(firing + 1) * 16],
-                         VLP16_ELEVATIONS_DEG, az, pts, azs)
+                         elev_table(VLP16_ELEVATIONS_DEG), az, pts, azs)
         elif model == "HDL-32":
-            _project(dist, HDL32_ELEVATIONS_DEG, az0, pts, azs)
+            _project(dist, elev_table(HDL32_ELEVATIONS_DEG), az0, pts, azs)
         else:  # HDL-64E: bank selected by the block flag
-            elev = (HDL64_UPPER_ELEVATIONS_DEG if flag == _FLAG_UPPER
-                    else HDL64_LOWER_ELEVATIONS_DEG)
+            if flag == _FLAG_UPPER:
+                elev = elev_table(HDL64_UPPER_ELEVATIONS_DEG)
+            else:
+                elev = (HDL64_LOWER_ELEVATIONS_DEG if calibration is None
+                        else calibration[32:64])
             _project(dist, elev, az0, pts, azs)
     if not pts:
         return np.zeros((0, 3)), np.zeros((0,))
     return np.concatenate(pts), np.concatenate(azs)
 
 
-def _python_read(path: str) -> Tuple[List[np.ndarray], List[np.ndarray]]:
+def _python_read(path: str, calibration: Optional[np.ndarray] = None
+                 ) -> Tuple[List[np.ndarray], List[np.ndarray]]:
     with open(path, "rb") as f:
         gh = f.read(24)
         (magic,) = struct.unpack("<I", gh[:4])
@@ -147,7 +211,7 @@ def _python_read(path: str) -> Tuple[List[np.ndarray], List[np.ndarray]]:
             payload = data[_UDP_HEADER:_UDP_HEADER + _PAYLOAD]
             if model is None:
                 model = detect_model(payload)
-            xyz, az = _decode_payload(payload, model)
+            xyz, az = _decode_payload(payload, model, calibration)
             for i in range(len(az)):
                 if prev_az is not None and az[i] < prev_az - 180.0:
                     sweeps.append(np.concatenate(cur_xyz)
@@ -173,18 +237,26 @@ def _rel_from_az(az: np.ndarray) -> np.ndarray:
     return rel / 360.0
 
 
-def read_pcap_sweeps(path: str, lidar: LidarConfig, native: bool = True
+def read_pcap_sweeps(path: str, lidar: LidarConfig, native: bool = True,
+                     calibration: Optional[np.ndarray] = None
                      ) -> Tuple[List[np.ndarray], List[float]]:
-    """Returns (sweeps, nominal_times). Native path when available."""
+    """Returns (sweeps, nominal_times). Native path when available.
+
+    calibration: per-unit elevation table from load_calibration — routes
+    to the python decoder (the native path uses the nominal tables).
+    Dual-return captures (factory byte 0x39) are handled by both
+    decoders: the strongest return of each same-azimuth block pair is
+    kept, matching single-return framing.
+    """
     import os
     if not os.path.exists(path):
         raise FileNotFoundError(path)
-    if native:
+    if native and calibration is None:
         out = _native_read(path)
         if out is not None:
             sweeps = out
             return sweeps, [0.1 * i for i in range(len(sweeps))]
-    sweeps, _rels = _python_read(path)
+    sweeps, _rels = _python_read(path, calibration)
     return sweeps, [0.1 * i for i in range(len(sweeps))]
 
 
@@ -230,7 +302,8 @@ def write_pcap(path: str, packets: List[bytes]) -> None:
 
 
 def _packet(azimuths_deg: List[float], ranges_m: np.ndarray,
-            flags: List[int], product_id: int) -> bytes:
+            flags: List[int], product_id: int,
+            return_mode: int = RETURN_STRONGEST) -> bytes:
     out = b""
     for b in range(12):
         out += struct.pack("<HH", flags[b],
@@ -238,21 +311,25 @@ def _packet(azimuths_deg: List[float], ranges_m: np.ndarray,
         for ch in range(32):
             raw = int(round(ranges_m[b, ch] / 0.002))
             out += struct.pack("<HB", raw & 0xFFFF, 50)
-    out += struct.pack("<IBB", 0, 0x37, product_id)
+    out += struct.pack("<IBB", 0, return_mode, product_id)
     return out
 
 
-def make_vlp16_packet(azimuths_deg: List[float],
-                      ranges_m: np.ndarray) -> bytes:
+def make_vlp16_packet(azimuths_deg: List[float], ranges_m: np.ndarray,
+                      return_mode: int = RETURN_STRONGEST) -> bytes:
     """Build one VLP-16 payload. azimuths_deg: 12 block azimuths;
-    ranges_m: (12, 32) ranges in meters (0 = no return)."""
-    return _packet(azimuths_deg, ranges_m, [_FLAG_UPPER] * 12, 0x22)
+    ranges_m: (12, 32) ranges in meters (0 = no return). In dual mode
+    (return_mode=RETURN_DUAL) supply same-azimuth block pairs
+    (last, strongest) as the sensor does."""
+    return _packet(azimuths_deg, ranges_m, [_FLAG_UPPER] * 12, 0x22,
+                   return_mode)
 
 
-def make_hdl32_packet(azimuths_deg: List[float],
-                      ranges_m: np.ndarray) -> bytes:
+def make_hdl32_packet(azimuths_deg: List[float], ranges_m: np.ndarray,
+                      return_mode: int = RETURN_STRONGEST) -> bytes:
     """Build one HDL-32E payload (12 blocks x 32 channels)."""
-    return _packet(azimuths_deg, ranges_m, [_FLAG_UPPER] * 12, 0x21)
+    return _packet(azimuths_deg, ranges_m, [_FLAG_UPPER] * 12, 0x21,
+                   return_mode)
 
 
 def make_hdl64_packet(azimuths_deg: List[float],

@@ -244,15 +244,25 @@ def run_chunk(state: EngineState, raws: scan_mod.RawSweep, cfg: LoamConfig,
 
 
 def registered_cloud(state: EngineState, raw: scan_mod.RawSweep,
-                     cfg: LoamConfig) -> PointSet:
+                     cfg: LoamConfig, imu_window=None) -> PointSet:
     """Full-resolution sweep registered into the map frame
-    (/velodyne_cloud_registered): deskewed to the sweep end with the
-    odometry motion (reference LaserOdometry.cpp:326) and projected by
-    the mapped pose (transformFullResToMap, BasicLaserMapping.cpp:235-240).
+    (/velodyne_cloud_registered): IMU-deskewed on ingest like the main
+    path, deskewed to the sweep end with the odometry motion and the
+    IMU start/end terms (reference transformToEnd,
+    BasicLaserOdometry.cpp:58-87, applied to the full-res cloud at
+    :651), and projected by the mapped pose (transformFullResToMap,
+    BasicLaserMapping.cpp:235-240). imu_window: the SAME window the
+    sweep was processed with (round-2 gap: this path hardcoded a zero
+    IMU state, silently diverging from the reference when IMU was on).
     """
     from loam_velodyne_tpu.models.odometry import ImuSweepState
-    _, full = scan_mod.ingest_sweep(raw, cfg.lidar, cfg.registration)
-    imu0 = ImuSweepState.zero()
+    _, full = scan_mod.ingest_sweep(raw, cfg.lidar, cfg.registration,
+                                    imu_window)
+    if imu_window is not None:
+        from loam_velodyne_tpu.ops import imu as imu_ops
+        imu0 = imu_ops.sweep_state(imu_window, cfg.registration.scan_period)
+    else:
+        imu0 = ImuSweepState.zero()
     xyz = lm.transform_to_end(full.xyz, full.rel, state.odometry.transform,
                               imu0.start_rpy, imu0.end_rpy,
                               imu0.shift_from_start)

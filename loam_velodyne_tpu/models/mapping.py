@@ -13,10 +13,16 @@ Re-designs here:
   the live-window origin and clears the storage cells that now alias
   newly-entered world cells. The reference's six while-loops become
   integer arithmetic plus one masked clear.
-- **Fixed-capacity slabs**: each cube holds up to (corner, surf) =
-  (320, 768) points with a count; appends go through a rank-scatter
-  like the ingest path. The per-cube voxel re-downsample
-  (leaf 0.2/0.4) keeps occupancy bounded, as in the reference.
+- **Two-tier lossless storage**: each cube holds a fixed-capacity
+  SEARCH slab (config corner/surf_cube_capacity); inserts land in
+  headroom-padded working slabs, the per-cube voxel re-downsample
+  (leaf 0.2/0.4) runs before any clipping, and post-thin tails spill
+  into a global dedup'd archive pool (compact_archive) instead of
+  being dropped — the reference's unbounded push_back clouds
+  (BasicLaserMapping.cpp:536-577) lose nothing, and neither does this
+  map; only the slabs feed the per-frame 5-NN search. Points beyond
+  the +-2-cube neighborhood go through a bounded whole-window scatter
+  (far path) so 150-400 m returns persist too.
 - **Windowed 5-NN**: the map feature clouds assembled from FOV-valid
   cubes are sorted along the forward axis once per frame; every GN
   iteration does exact distance computation only inside per-query
@@ -59,11 +65,24 @@ class MappingState(NamedTuple):
     map_frame: Array       # () int32 processed-mapping-frame counter
     #   (drives the surround-map cadence, reference _mapFrameCount,
     #    BasicLaserMapping.cpp:54,242-264)
+    # Archive pool (see MappingConfig.archive_capacity): post-thin slab
+    # overflow, kept so the map stays lossless where the reference's
+    # unbounded push_back clouds would. Rows are appended at
+    # archive_cnt; archive_valid drops rows whose cube left the rolling
+    # window (matching the reference's shift-loop clears); archive_kind
+    # is 0=corner / 1=surf (the two leaf resolutions dedup separately
+    # during compaction).
+    archive_xyz: Array     # (A, 3)
+    archive_sidx: Array    # (A,) storage index of each row's cube
+    archive_kind: Array    # (A,) int32 0=corner, 1=surf
+    archive_valid: Array   # (A,)
+    archive_cnt: Array     # () int32 append cursor
 
     @staticmethod
     def create(cfg: LoamConfig) -> "MappingState":
         m = cfg.mapping
         nc = m.n_cubes
+        a = m.archive_capacity
         return MappingState(
             corner_xyz=jnp.zeros((nc, m.corner_cube_capacity, 3), jnp.float32),
             corner_cnt=jnp.zeros((nc,), jnp.int32),
@@ -75,19 +94,26 @@ class MappingState(NamedTuple):
             transform_aft=lm.identity_pose(),
             transform_bef=lm.identity_pose(),
             map_frame=jnp.zeros((), jnp.int32),
+            archive_xyz=jnp.zeros((a, 3), jnp.float32),
+            archive_sidx=jnp.zeros((a,), jnp.int32),
+            archive_kind=jnp.zeros((a,), jnp.int32),
+            archive_valid=jnp.zeros((a,), bool),
+            archive_cnt=jnp.zeros((), jnp.int32),
         )
 
 
 class MapTelemetry(NamedTuple):
     """Per-frame overflow/shed counters (all () int32). The reference's
-    push_back-based map never drops points (BasicLaserMapping.cpp:536-577);
-    every fixed-capacity boundary here reports what it shed so capacity
+    push_back-based map never drops an IN-WINDOW point
+    (BasicLaserMapping.cpp:536-577; points whose cube falls outside the
+    21x11x21 window are discarded there too and are NOT counted here);
+    every fixed-capacity boundary reports what it shed so capacity
     regressions are visible instead of silent."""
 
     stack_corner_dropped: Array   # corner stack voxel cells over capacity
     stack_surf_dropped: Array
-    cube_corner_dropped: Array    # insert drops: slab-full + out-of-window
-    cube_surf_dropped: Array
+    cube_corner_dropped: Array    # capacity-only losses: post-thin slab
+    cube_surf_dropped: Array      #   clip + far-path budget/slab overflow
     active_cube_deficit: Array    # FOV-valid cubes beyond the active budget
 
     @staticmethod
@@ -207,28 +233,37 @@ def assemble_map_cloud(cube_xyz: Array, cube_cnt: Array, sidx: Array,
 
 
 def scatter_into_cubes(cube_xyz: Array, cube_cnt: Array, pts: Array,
-                       mask: Array, origin: Array, m: MappingConfig
-                       ) -> Tuple[Array, Array]:
-    """Append map-frame points into their cubes (fixed capacity, excess
-    dropped). Equivalent of the reference's per-point push_back scatter
-    (BasicLaserMapping.cpp:536-577), with the in-window bounds check.
+                       mask: Array, origin: Array, m: MappingConfig,
+                       return_dropped: bool = False):
+    """Append map-frame points into their cubes anywhere in the live
+    window (fixed capacity). Equivalent of the reference's per-point
+    push_back scatter (BasicLaserMapping.cpp:536-577), with the same
+    in-window bounds check (out-of-window points are discarded there
+    too, :545-552 — they don't count as capacity losses).
+
+    With return_dropped=True additionally returns the () int32 count of
+    in-window points shed at slab capacity.
     """
     nc, cap, _ = cube_xyz.shape
+    n = pts.shape[0]
     w = world_cube_coord(pts, m)
     c = w - origin[None, :]
     d = _dims(m)
     ok = mask & jnp.all((c >= 0) & (c < d[None, :]), axis=-1)
     sidx = jnp.where(ok, storage_index(w, m), nc)       # trash row nc
 
-    # rank of each point within its cube (stable by input order)
-    order = jnp.argsort(jnp.where(ok, sidx, nc), stable=True)
-    sidx_s = sidx[order]
-    pts_s = pts[order]
-    ok_s = ok[order]
-    counts = jnp.zeros((nc + 1,), jnp.int32).at[sidx_s].add(1)
-    starts = jnp.concatenate([jnp.zeros((1,), jnp.int32),
-                              jnp.cumsum(counts)[:-1].astype(jnp.int32)])
-    rank = jnp.arange(pts.shape[0], dtype=jnp.int32) - starts[jnp.clip(sidx_s, 0, nc)]
+    # Rank of each point within its cube via ONE stable payload-carrying
+    # sort by cube id (no argsort row-gathers, PERF.md §9): rank = row -
+    # its segment's first row, with segment starts propagated by cummax.
+    sidx_s, px, py, pz = jax.lax.sort(
+        (sidx, pts[:, 0], pts[:, 1], pts[:, 2]), num_keys=1,
+        is_stable=True)
+    pts_s = jnp.stack([px, py, pz], axis=1)
+    ok_s = sidx_s < nc
+    i = jnp.arange(n, dtype=jnp.int32)
+    seg_start = jnp.concatenate([jnp.ones((1,), bool),
+                                 sidx_s[1:] != sidx_s[:-1]])
+    rank = i - jax.lax.cummax(jnp.where(seg_start, i, 0))
     slot = cube_cnt[jnp.clip(sidx_s, 0, nc - 1)] + rank
     keep = ok_s & (slot < cap)
     # Out-of-range flat indices (rejected points) are dropped by the
@@ -238,8 +273,16 @@ def scatter_into_cubes(cube_xyz: Array, cube_cnt: Array, pts: Array,
                .at[flat].set(jnp.where(keep[:, None], pts_s, 0.0),
                              mode="drop")
                .reshape(nc, cap, 3))
-    added = jnp.zeros((nc + 1,), jnp.int32).at[sidx_s].add(keep.astype(jnp.int32))
+    # Per-cube added counts as a dense one-hot reduce, NOT a scatter-add
+    # into nc bins (scatter-adds serialize row-by-row on TPU; callers
+    # keep n small — the far path compacts to far_insert_budget first).
+    bins = jnp.arange(nc + 1, dtype=jnp.int32)
+    added = jnp.sum(((sidx_s[:, None] == bins[None, :]) & keep[:, None])
+                    .astype(jnp.int32), axis=0)
     new_cnt = jnp.minimum(cube_cnt + added[:nc], cap)
+    if return_dropped:
+        dropped = jnp.sum((ok_s & ~keep).astype(jnp.int32))
+        return new_xyz, new_cnt, added[:nc] > 0, dropped
     return new_xyz, new_cnt, added[:nc] > 0
 
 
@@ -250,24 +293,27 @@ def insert_into_local_slabs(local_xyz: Array, local_cnt: Array, pts: Array,
 
     local_xyz: (L, cap, 3) slabs of the (2r+1)^3 neighborhood cubes in
     meshgrid order (fov_valid_cubes' ``off`` layout); base_w: (3,) world
-    cube coord of the neighborhood's corner (sensor_w - r). Points
-    outside the neighborhood or the live window are dropped (a lidar
-    return always lands within +-(r) cubes of the sensor for ranges
-    < r*cube_size; the reference can keep farther points,
-    BasicLaserMapping.cpp:536-577 — divergence noted).
-    Returns (slabs, counts, received, dropped) where dropped is the
-    () int32 count of valid input points NOT stored (outside the
-    neighborhood/window or slab at capacity).
+    cube coord of the neighborhood's corner (sensor_w - r). This is the
+    fast path for the overwhelmingly common case (a lidar return lands
+    within +-r cubes of the sensor for ranges < r*cube_size); points
+    beyond the neighborhood are NOT dropped — they come back in
+    ``far_mask`` and the caller routes them through the global
+    whole-window scatter (scatter_into_cubes), matching the reference's
+    insertion of every in-window point (BasicLaserMapping.cpp:536-577).
+
+    Returns (slabs, counts, received, (sorted_pts, overflow_mask),
+    far_mask): overflow flags rows past even the working headroom (the
+    caller spills them into the archive) and far_mask flags valid
+    points outside the neighborhood (routed through the global
+    whole-window scatter).
     """
     l, cap, _ = local_xyz.shape
     side = 2 * m.neighborhood + 1
     w = world_cube_coord(pts, m)
     rel3 = w - base_w[None, :]
     in_nbhd = jnp.all((rel3 >= 0) & (rel3 < side), axis=-1)
-    c = w - origin[None, :]
-    d = _dims(m)
-    in_window = jnp.all((c >= 0) & (c < d[None, :]), axis=-1)
-    ok = mask & in_nbhd & in_window
+    far_mask = mask & ~in_nbhd
+    ok = mask & in_nbhd
     # meshgrid 'ij' order: index = x*side^2 + y*side + z
     lidx = jnp.where(ok, rel3[:, 0] * side * side + rel3[:, 1] * side
                      + rel3[:, 2], l)
@@ -301,8 +347,101 @@ def insert_into_local_slabs(local_xyz: Array, local_cnt: Array, pts: Array,
     added = jnp.sum(((lidx_s[:, None] == bins) & keep[:, None])
                     .astype(jnp.int32), axis=0)
     new_cnt = jnp.minimum(local_cnt + added[:l], cap)
-    dropped = jnp.sum(mask.astype(jnp.int32)) - jnp.sum(keep.astype(jnp.int32))
-    return new_xyz, new_cnt, added[:l] > 0, dropped
+    # Rows past even the headroom (a saturated cube receiving a dense
+    # burst) are returned for the caller to spill into the archive —
+    # not dropped (pts_s/overflow are in sorted order).
+    overflow = ok_s & ~keep
+    return new_xyz, new_cnt, added[:l] > 0, (pts_s, overflow), far_mask
+
+
+def _compact_xyz(xyz: Array, keep: Array, budget: int
+                 ) -> Tuple[Array, Array, Array]:
+    """Front-pack kept rows of (N, 3) into a fixed ``budget`` via one
+    stable payload-carrying sort; returns (xyz (budget, 3), mask,
+    dropped-over-budget)."""
+    key = (~keep).astype(jnp.int32)
+    _, x_s, y_s, z_s = jax.lax.sort(
+        (key, xyz[:, 0], xyz[:, 1], xyz[:, 2]), num_keys=1, is_stable=True)
+    if budget > xyz.shape[0]:              # output wider than the input
+        pad = (0, budget - xyz.shape[0])
+        x_s, y_s, z_s = (jnp.pad(a, pad) for a in (x_s, y_s, z_s))
+    n_keep = jnp.sum(keep.astype(jnp.int32))
+    cnt = jnp.minimum(n_keep, budget)
+    mask = jnp.arange(budget) < cnt
+    out = jnp.stack([x_s[:budget], y_s[:budget], z_s[:budget]], axis=1)
+    return (jnp.where(mask[:, None], out, 0.0), mask,
+            jnp.maximum(n_keep - budget, 0))
+
+
+def archive_append(pool, xyz: Array, mask: Array, kind: int, budget: int,
+                   m: MappingConfig):
+    """Compact masked rows to ``budget`` and append them at the pool
+    cursor via one contiguous dynamic_update_slice blend (a row scatter
+    would serialize on TPU). Near the pool end the block start clamps
+    and the add rows roll so they still land at the cursor; rows that
+    don't fit are counted. Returns (pool, lost)."""
+    pool_xyz, pool_sidx, pool_kind, pool_valid, pool_cnt = pool
+    add_xyz, add_mask, over_budget = _compact_xyz(xyz, mask, budget)
+
+    a = pool_xyz.shape[0]
+    n_add = jnp.sum(add_mask.astype(jnp.int32))
+    n_fit = jnp.clip(a - pool_cnt, 0, n_add)
+    start = jnp.minimum(pool_cnt, a - budget)
+    shift = pool_cnt - start
+    j = jnp.arange(budget)
+    writem = (j >= shift) & (j < shift + n_fit)
+    sidx_add = storage_index(world_cube_coord(add_xyz, m), m)
+
+    def blend(pool_arr, add_arr):
+        cur = jax.lax.dynamic_slice_in_dim(pool_arr, start, budget, 0)
+        add_sh = jnp.roll(add_arr, shift, axis=0)
+        wm = writem.reshape((budget,) + (1,) * (add_arr.ndim - 1))
+        return jax.lax.dynamic_update_slice_in_dim(
+            pool_arr, jnp.where(wm, add_sh, cur), start, 0)
+
+    pool_xyz = blend(pool_xyz, add_xyz)
+    pool_sidx = blend(pool_sidx, sidx_add)
+    pool_kind = blend(pool_kind, jnp.full((budget,), kind, jnp.int32))
+    pool_valid = blend(pool_valid, jnp.ones((budget,), bool))
+    lost = over_budget + (n_add - n_fit)
+    return ((pool_xyz, pool_sidx, pool_kind, pool_valid, pool_cnt + n_fit),
+            lost)
+
+
+def compact_archive(pool, m: MappingConfig):
+    """Dedup + front-pack the archive pool.
+
+    Evict/re-observe churn appends the same voxel cell every time it is
+    spilled; this merges duplicates (keep-first — spills of one cell
+    are near-identical centroids), sheds rows invalidated by window
+    recentering, and packs survivors to the front so the cursor equals
+    the true cell count. Two payload-carrying sorts over the pool; run
+    on pool pressure (LoamDriver) or between replay chunks, not per
+    frame."""
+    xyz, sidx, kind, valid, cnt = pool
+    a = xyz.shape[0]
+    valid = valid & (jnp.arange(a) < cnt)
+    leaf = jnp.where(kind == 0, m.corner_leaf, m.surf_leaf)
+    cell = jnp.floor(xyz / leaf[:, None]).astype(jnp.int32)
+    cx = jnp.clip(cell[:, 0], -4096, 4095)
+    cy = jnp.clip(cell[:, 1], -4096, 4095)
+    cz = jnp.clip(cell[:, 2], -4096, 4095)
+    # (invalid, kind, cx, cy | cz) packed into two int32 sort keys
+    key1 = ((~valid).astype(jnp.int32) * (1 << 30) + kind * (1 << 29)
+            + (cx + 4096) * (1 << 14) + (cy + 4096))
+    key2 = cz + 4096
+    k1, k2, x_s, y_s, z_s, sx, kd, vl = jax.lax.sort(
+        (key1, key2, xyz[:, 0], xyz[:, 1], xyz[:, 2], sidx, kind,
+         valid.astype(jnp.int32)), num_keys=2, is_stable=True)
+    first = jnp.concatenate([jnp.ones((1,), bool),
+                             (k1[1:] != k1[:-1]) | (k2[1:] != k2[:-1])])
+    keep = vl.astype(bool) & first
+    dk = (~keep).astype(jnp.int32)
+    _, x_s, y_s, z_s, sx, kd = jax.lax.sort(
+        (dk, x_s, y_s, z_s, sx, kd), num_keys=1, is_stable=True)
+    n = jnp.sum(keep.astype(jnp.int32))
+    mask = jnp.arange(a) < n
+    return (jnp.stack([x_s, y_s, z_s], axis=1), sx, kd, mask, n)
 
 
 def downsample_local_slabs(local_xyz: Array, local_cnt: Array, do: Array,
@@ -442,7 +581,8 @@ def optimize_pose(corner_stack: PointSet, surf_stack: PointSet,
                                              group=m.knn_group,
                                              return_neighbors=True)
         gate_c = d2_c[:, 4] < m.nn_sq_dist_gate
-        centroid, direction, line_ok = fit.line_fit(nbrs_c)
+        centroid, direction, line_ok = fit.line_fit(nbrs_c,
+                                                    m.line_eigen_ratio)
         pa = centroid + m.line_half_length * direction
         pb = centroid - m.line_half_length * direction
 
@@ -609,7 +749,8 @@ def _line_dist(x0: Array, a: Array, b: Array) -> Tuple[Array, Array]:
 def step(state: MappingState, odom_pose: Array, corner_cloud: PointSet,
          surf_cloud: PointSet, cfg: LoamConfig,
          imu_rpy: Optional[Tuple[Array, Array]] = None,
-         static_schedule: bool = False
+         static_schedule: bool = False,
+         archive_compact: bool = False
          ) -> Tuple[MappingState, MappingOutputs]:
     """One mapping refinement (reference BasicLaserMapping::process).
 
@@ -617,6 +758,9 @@ def step(state: MappingState, odom_pose: Array, corner_cloud: PointSet,
     corner_cloud / surf_cloud: odometry's last clouds (sensor frame).
     imu_rpy: optional ((roll, pitch, yaw), valid) for the 0.998/0.002
     attitude blend (reference transformUpdate :171-203).
+    archive_compact: statically compile the archive dedup compaction
+    into this frame (normally run separately on pool pressure — see
+    LoamDriver._maybe_compact_archive).
     """
     m = cfg.mapping
 
@@ -634,11 +778,17 @@ def step(state: MappingState, odom_pose: Array, corner_cloud: PointSet,
         surf_cloud, m.surf_leaf, m.surf_stack_capacity,
         return_dropped=True)
 
-    # Recenter the rolling window around the prior pose.
+    # Recenter the rolling window around the prior pose. Archived rows
+    # of cubes leaving the window clear with it (the reference's shift
+    # loops drop those clouds, BasicLaserMapping.cpp:311-441).
     sensor_w = world_cube_coord(tobe[lm.POS], m)
     new_origin, clear = recenter(state.origin, sensor_w, m)
     corner_cnt = jnp.where(clear, 0, state.corner_cnt)
     surf_cnt = jnp.where(clear, 0, state.surf_cnt)
+    arch_xyz = state.archive_xyz
+    arch_sidx = state.archive_sidx
+    arch_valid = state.archive_valid & ~clear[state.archive_sidx]
+    arch_cnt = state.archive_cnt
 
     # Gather the (2r+1)^3 neighborhood slabs ONCE; assembly, insert and
     # thinning all operate on these local copies, and the global cube
@@ -679,24 +829,49 @@ def step(state: MappingState, odom_pose: Array, corner_cloud: PointSet,
         tobe = tobe.at[0].set(jnp.where(imu_ok, rx, tobe[0]))
         tobe = tobe.at[2].set(jnp.where(imu_ok, rz, tobe[2]))
 
-    # Insert the downsized stacks into the local slabs.
+    # Insert the downsized stacks into the local slabs, working in
+    # headroom-padded buffers: points land beyond the storage capacity
+    # instead of being shed, the re-thin runs on the padded slabs, and
+    # only what survives thinning is clipped back to capacity — evict
+    # by thinning, not truncation (the reference's push_back map never
+    # drops an in-window point, BasicLaserMapping.cpp:536-577).
     base_w = sensor_w - m.neighborhood
     corner_map_pts = _map_point(tobe, corner_stack.xyz)
     surf_map_pts = _map_point(tobe, surf_stack.xyz)
-    local_c, local_cc, recv_c, cube_c_drop = insert_into_local_slabs(
-        local_c, local_cc, corner_map_pts, corner_stack.mask, base_w,
-        new_origin, m)
-    local_s, local_sc, recv_s, cube_s_drop = insert_into_local_slabs(
-        local_s, local_sc, surf_map_pts, surf_stack.mask, base_w,
-        new_origin, m)
+    hr = m.insert_headroom
+    nl = local_c.shape[0]
+
+    def pad_slab(x):
+        return jnp.concatenate(
+            [x, jnp.zeros((nl, hr, 3), jnp.float32)], axis=1)
+
+    local_c, local_cc, recv_c, ovf_c, far_c = insert_into_local_slabs(
+        pad_slab(local_c), local_cc, corner_map_pts, corner_stack.mask,
+        base_w, new_origin, m)
+    local_s, local_sc, recv_s, ovf_s, far_s = insert_into_local_slabs(
+        pad_slab(local_s), local_sc, surf_map_pts, surf_stack.mask,
+        base_w, new_origin, m)
+
+    # Insert-time overflow (a saturated cube receiving a dense burst
+    # past even the headroom) spills straight into the archive.
+    pool = (arch_xyz, arch_sidx, state.archive_kind, arch_valid, arch_cnt)
+    pool, ins_c_lost = archive_append(pool, ovf_c[0], ovf_c[1], 0,
+                                      m.archive_append_budget, m)
+    pool, ins_s_lost = archive_append(pool, ovf_s[0], ovf_s[1], 1,
+                                      m.archive_append_budget, m)
+    cube_c_drop = ins_c_lost
+    cube_s_drop = ins_s_lost
 
     # Re-thin in place. The reference thins every FOV-valid cube
     # (BasicLaserMapping.cpp:580-593); voxel thinning is idempotent, so
     # restricting to cubes that actually RECEIVED points this frame is
     # equivalent (a cube entering the FOV untouched stays slightly
-    # denser until its next insert — harmless and cheaper).
+    # denser until its next insert — harmless and cheaper). Candidates
+    # are all received in-window cubes (not just FOV-valid ones): a
+    # received cube skipped here would lose its headroom tail to the
+    # capacity clip below.
     def thin(xyz, cnt, recv, leaf):
-        pos, act = _select_active(recv & valid_fov, m.thin_active_cubes,
+        pos, act = _select_active(recv & in_bounds, m.thin_active_cubes,
                                   weight=cnt)
         sub_xyz, sub_cnt = downsample_local_slabs(xyz[pos], cnt[pos], act,
                                                   leaf)
@@ -704,6 +879,43 @@ def step(state: MappingState, odom_pose: Array, corner_cloud: PointSet,
 
     local_c, local_cc = thin(local_c, local_cc, recv_c, m.corner_leaf)
     local_s, local_sc = thin(local_s, local_sc, recv_s, m.surf_leaf)
+
+    # Clip back to storage capacity (slabs are front-packed, so the
+    # first cap rows are the kept points). Post-thin tails of the top
+    # over-capacity cubes spill into the archive pool — saturated
+    # geometry (a corridor cube wants ~8k surf points at the 0.4 leaf)
+    # can never fit a bounded search slab, and the reference keeps
+    # every such point (push_back, BasicLaserMapping.cpp:536-577).
+    # Only tails beyond the per-frame archive budgets or the pool
+    # capacity count as losses.
+    def clip_and_spill(xyz, cnt, cap, kind, pool):
+        hrw = xyz.shape[1] - cap
+        pos, act = _select_active(cnt > cap, m.archive_cubes_per_frame,
+                                  weight=cnt)
+        tail = xyz[pos][:, cap:, :]                    # (K, hr, 3)
+        tcnt = jnp.where(act, jnp.clip(cnt[pos] - cap, 0, hrw), 0)
+        tmask = jnp.arange(hrw)[None, :] < tcnt[:, None]
+        pool, append_lost = archive_append(
+            pool, tail.reshape(-1, 3), tmask.reshape(-1), kind,
+            m.archive_append_budget, m)
+        lost = (jnp.sum(jnp.maximum(cnt - cap, 0)) - jnp.sum(tcnt)
+                + append_lost)
+        return xyz[:, :cap], jnp.minimum(cnt, cap), lost, pool
+
+    local_c, local_cc, over_c, pool = clip_and_spill(
+        local_c, local_cc, m.corner_cube_capacity, 0, pool)
+    local_s, local_sc, over_s, pool = clip_and_spill(
+        local_s, local_sc, m.surf_cube_capacity, 1, pool)
+
+    # Periodic dedup compaction: evict/re-observe churn appends the
+    # same voxel cell repeatedly; merging duplicates bounds the pool at
+    # the true cell count. Off the hot path by default — the cursor
+    # only advances while some cube is saturated.
+    if archive_compact:
+        pool = compact_archive(pool, m)
+    arch_xyz, arch_sidx, arch_kind, arch_valid, arch_cnt = pool
+    cube_c_drop = cube_c_drop + over_c
+    cube_s_drop = cube_s_drop + over_s
 
     # Whole-slab write-back; aliased out-of-window entries are dropped.
     nc = m.n_cubes
@@ -713,12 +925,33 @@ def step(state: MappingState, odom_pose: Array, corner_cloud: PointSet,
     surf_xyz = state.surf_xyz.at[sidx_safe].set(local_s, mode="drop")
     surf_cnt = surf_cnt.at[sidx_safe].set(local_sc, mode="drop")
 
+    # Whole-window far-point path: the rare returns beyond the +-r
+    # neighborhood (ranges > r*cube_size, e.g. 150-400 m outdoors) go
+    # through a bounded global scatter so they persist in the map like
+    # the reference's push_back (BasicLaserMapping.cpp:536-577) instead
+    # of vanishing. Compact to a small fixed budget first: the scatter
+    # machinery then costs O(budget), not O(stack capacity).
+    fb = m.far_insert_budget
+    far_c_xyz, far_c_mask, far_c_over = _compact_xyz(corner_map_pts, far_c, fb)
+    far_s_xyz, far_s_mask, far_s_over = _compact_xyz(surf_map_pts, far_s, fb)
+    corner_xyz, corner_cnt, _, far_c_drop = scatter_into_cubes(
+        corner_xyz, corner_cnt, far_c_xyz, far_c_mask, new_origin, m,
+        return_dropped=True)
+    surf_xyz, surf_cnt, _, far_s_drop = scatter_into_cubes(
+        surf_xyz, surf_cnt, far_s_xyz, far_s_mask, new_origin, m,
+        return_dropped=True)
+    cube_c_drop = cube_c_drop + far_c_over + far_c_drop
+    cube_s_drop = cube_s_drop + far_s_over + far_s_drop
+
     new_state = MappingState(
         corner_xyz=corner_xyz, corner_cnt=corner_cnt,
         surf_xyz=surf_xyz, surf_cnt=surf_cnt,
         origin=new_origin, transform_tobe=tobe,
         transform_aft=tobe, transform_bef=odom_pose,
-        map_frame=state.map_frame + 1)
+        map_frame=state.map_frame + 1,
+        archive_xyz=arch_xyz, archive_sidx=arch_sidx,
+        archive_kind=arch_kind, archive_valid=arch_valid,
+        archive_cnt=arch_cnt)
 
     # Surround-map cadence: the reference's _mapFrameCount starts at
     # _mapFrameNum-1, so the 1st, (N+1)th, ... mapping frames publish
@@ -739,8 +972,9 @@ def step(state: MappingState, odom_pose: Array, corner_cloud: PointSet,
 
 
 def full_map(state: MappingState, cfg: LoamConfig) -> Tuple[Array, Array]:
-    """Every stored map point (corner + surf) across the whole rolling
-    window, with a validity mask — the complete world model, for export."""
+    """Every stored map point (corner + surf slabs + the archive pool)
+    across the whole rolling window, with a validity mask — the
+    complete world model, for export."""
     m = cfg.mapping
 
     def flatten(xyz, cnt):
@@ -750,8 +984,10 @@ def full_map(state: MappingState, cfg: LoamConfig) -> Tuple[Array, Array]:
 
     cx, cm = flatten(state.corner_xyz, state.corner_cnt)
     sx, sm = flatten(state.surf_xyz, state.surf_cnt)
-    return (jnp.concatenate([cx, sx], axis=0),
-            jnp.concatenate([cm, sm], axis=0))
+    a_mask = state.archive_valid & (
+        jnp.arange(state.archive_xyz.shape[0]) < state.archive_cnt)
+    return (jnp.concatenate([cx, sx, state.archive_xyz], axis=0),
+            jnp.concatenate([cm, sm, a_mask], axis=0))
 
 
 def surround_map(state: MappingState, cfg: LoamConfig,

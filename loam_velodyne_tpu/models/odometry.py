@@ -207,8 +207,10 @@ def run_gauss_newton(sharp: PointSet, flat: PointSet, last_corner: PointSet,
         refresh = (c.it % odo.corresp_refresh_every) == 0
 
         def do_refresh(_):
-            cm = corner_correspondences(x_c, sharp.mask, last_corner)
-            sm = surf_correspondences(x_s, flat.mask, last_surf)
+            cm = corner_correspondences(x_c, sharp.mask, last_corner,
+                                        odo.ring_bracket)
+            sm = surf_correspondences(x_s, flat.mask, last_surf,
+                                      odo.ring_bracket)
             return cm.j, cm.l, cm.valid, sm.j, sm.l, sm.m, sm.valid
 
         def keep_old(_):
@@ -331,8 +333,10 @@ def _run_gn_static(sharp: PointSet, flat: PointSet, last_corner: PointSet,
     def do_phase(phase_idx, tf, mat_p, degenerate, done, first):
         x_c = lm.transform_to_start(sharp.xyz, sharp.rel, tf)
         x_s = lm.transform_to_start(flat.xyz, flat.rel, tf)
-        cm = corner_correspondences(x_c, sharp.mask, last_corner)
-        sm = surf_correspondences(x_s, flat.mask, last_surf)
+        cm = corner_correspondences(x_c, sharp.mask, last_corner,
+                                    odo.ring_bracket)
+        sm = surf_correspondences(x_s, flat.mask, last_surf,
+                                  odo.ring_bracket)
 
         # static unroll so iteration 0 (the only one that computes the
         # degeneracy projector) peels without a lax.cond

@@ -72,12 +72,14 @@ def sym3x3_top_eigvector(a: Array, eigs: Array) -> Array:
     return v / n
 
 
-def line_fit(neighbors: Array) -> Tuple[Array, Array, Array]:
+def line_fit(neighbors: Array,
+             eigen_ratio: float = 3.0) -> Tuple[Array, Array, Array]:
     """Fit an edge line to (..., K, 3) neighbor sets.
 
     Returns (centroid, direction, valid) where valid applies the
-    reference's eigenvalue-ratio test lambda_max > 3 * lambda_mid
-    (BasicLaserMapping.cpp:699) and direction is the principal axis.
+    reference's eigenvalue-ratio test lambda_max > ratio * lambda_mid
+    (BasicLaserMapping.cpp:699, ratio 3) and direction is the principal
+    axis. Callers pass MappingConfig.line_eigen_ratio.
     """
     c = jnp.mean(neighbors, axis=-2)
     d = neighbors - c[..., None, :]
@@ -85,7 +87,7 @@ def line_fit(neighbors: Array) -> Tuple[Array, Array, Array]:
                      precision=jax.lax.Precision.HIGHEST) / neighbors.shape[-2]
     eigs = sym3x3_eigvalues(cov)
     direction = sym3x3_top_eigvector(cov, eigs)
-    valid = eigs[..., 2] > 3.0 * eigs[..., 1]
+    valid = eigs[..., 2] > eigen_ratio * eigs[..., 1]
     return c, direction, valid
 
 

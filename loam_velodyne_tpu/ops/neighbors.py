@@ -32,7 +32,7 @@ from loam_velodyne_tpu.types import PointSet
 Array = jax.Array
 
 NN_GATE_SQ = 25.0
-RING_BRACKET = 2
+RING_BRACKET = 2.5
 
 
 def pairwise_sq_dist(q: Array, p: Array) -> Array:
@@ -70,22 +70,30 @@ def _masked_argmin(d2: Array, mask: Array) -> tuple[Array, Array]:
 
 
 def corner_correspondences(query_xyz: Array, query_mask: Array,
-                           last: PointSet) -> CornerMatch:
-    """Point-to-line pairs (reference BasicLaserOdometry.cpp:246-302)."""
+                           last: PointSet,
+                           ring_bracket: float = RING_BRACKET) -> CornerMatch:
+    """Point-to-line pairs (reference BasicLaserOdometry.cpp:246-302).
+
+    ring_bracket: the reference walks neighbors while their (float) scan
+    id stays within closestPointScan +- 2.5 (BasicLaserOdometry.cpp:262,
+    OdometryConfig.ring_bracket); with integer ring ids that's
+    |dring| <= 2.
+    """
     d2 = pairwise_sq_dist(query_xyz, last.xyz)
     j, dj = _masked_argmin(d2, last.mask[None, :])
     ok_j = (dj < NN_GATE_SQ) & query_mask
 
     ring_j = last.ring[j]                          # (Q,)
     dring = last.ring[None, :] - ring_j[:, None]   # (Q,M)
-    bracket = (dring != 0) & (jnp.abs(dring) <= RING_BRACKET) & last.mask[None, :]
+    bracket = (dring != 0) & (jnp.abs(dring) <= ring_bracket) & last.mask[None, :]
     l, dl = _masked_argmin(d2, bracket)
     ok_l = dl < NN_GATE_SQ
     return CornerMatch(j=j, l=l, valid=ok_j & ok_l)
 
 
 def surf_correspondences(query_xyz: Array, query_mask: Array,
-                         last: PointSet) -> SurfMatch:
+                         last: PointSet,
+                         ring_bracket: float = RING_BRACKET) -> SurfMatch:
     """Point-to-plane tripods (reference BasicLaserOdometry.cpp:364-441)."""
     mcap = last.xyz.shape[0]
     d2 = pairwise_sq_dist(query_xyz, last.xyz)
@@ -96,7 +104,7 @@ def surf_correspondences(query_xyz: Array, query_mask: Array,
     dring = last.ring[None, :] - ring_j[:, None]
     col = jnp.arange(mcap)[None, :]
     same_ring = (dring == 0) & (col != j[:, None]) & last.mask[None, :]
-    diff_ring = (dring != 0) & (jnp.abs(dring) <= RING_BRACKET) & last.mask[None, :]
+    diff_ring = (dring != 0) & (jnp.abs(dring) <= ring_bracket) & last.mask[None, :]
 
     l, dl = _masked_argmin(d2, same_ring)
     m, dm = _masked_argmin(d2, diff_ring)
@@ -120,6 +128,9 @@ _FAR_SENTINEL = 1e8
 
 
 def _use_pallas_knn() -> bool:
+    import os
+    if os.environ.get("LOAM_DISABLE_PALLAS_KNN"):   # A/B escape hatch
+        return False
     try:
         return jax.default_backend() in ("tpu", "axon")
     except Exception:

@@ -181,33 +181,25 @@ def ingest_sweep(raw: RawSweep, lidar: LidarConfig,
     keep_s = valid_s & (rank_s < p_cap)
 
     # The (R, P) ring grid: ring r's points occupy sorted rows
-    # starts[r]..starts[r]+count. Up to 32 rings the grid is R
-    # contiguous dynamic_slice windows of the sorted cloud (no scatter;
-    # the cloud is padded by one window so a slice starting at the last
-    # ring's offset never clamps — XLA clamps out-of-range starts,
-    # which would misalign rows). Each slice is its own op, so at 64
-    # rings the per-op dispatch overhead overtakes the single scatter
-    # it replaces (measured: HDL-64E 68.8 -> 52.7 sweeps/s) — wide
-    # sensors keep the rank scatter.
+    # starts[r]..starts[r]+count, so the grid is R contiguous
+    # dynamic_slice windows of the sorted cloud — vmapped into ONE
+    # gather-of-blocks kernel (the same shape tiled_windowed_knn uses
+    # for its group windows), not R separate slice ops (per-op dispatch
+    # overhead sank 64-ring ingest: HDL-64E 68.8 -> 52.7 sweeps/s with
+    # an unrolled slice loop) and not a (N,)-row rank scatter (the
+    # round-2 fallback for wide sensors). The cloud is padded by one
+    # window so a slice starting at the last ring's offset never clamps
+    # (XLA clamps out-of-range starts, which would misalign rows).
     xyz_s = jnp.stack([x_s, y_s, z_s], axis=1)
     pay_s = jnp.concatenate([xyz_s, rel_s[:, None]], axis=1)     # (n, 4)
     grid_count = jnp.minimum(counts[:r_rings], p_cap)
     grid_mask = (jnp.arange(p_cap, dtype=jnp.int32)[None, :]
                  < grid_count[:, None])
-    if r_rings <= 32:
-        pay_pad = jnp.concatenate(
-            [pay_s, jnp.zeros((p_cap, 4), jnp.float32)], axis=0)
-        grid_all = jnp.stack([
-            jax.lax.dynamic_slice(pay_pad, (starts[r], 0), (p_cap, 4))
-            for r in range(r_rings)])                            # (R, P, 4)
-    else:
-        keep_grid = valid_s & (rank_s < p_cap)
-        flat_idx = jnp.where(keep_grid, ring_s * p_cap + rank_s,
-                             r_rings * p_cap)
-        grid_all = (jnp.zeros((r_rings * p_cap, 4), jnp.float32)
-                    .at[flat_idx].set(jnp.where(keep_grid[:, None],
-                                                pay_s, 0.0), mode="drop")
-                    .reshape(r_rings, p_cap, 4))
+    pay_pad = jnp.concatenate(
+        [pay_s, jnp.zeros((p_cap, 4), jnp.float32)], axis=0)
+    grid_all = jax.vmap(
+        lambda s: jax.lax.dynamic_slice(pay_pad, (s, 0), (p_cap, 4))
+    )(starts[:r_rings])                                          # (R, P, 4)
     grid_all = jnp.where(grid_mask[..., None], grid_all, 0.0)
     grid_xyz = grid_all[..., :3]
     grid_rel = grid_all[..., 3]

@@ -78,18 +78,22 @@ def voxel_downsample(ps: PointSet, leaf: float, capacity: int,
 
     # Lexicographic sort with two packed keys instead of five separate
     # ones (each lexsort key is its own bitonic pass on TPU). Cells are
-    # clipped into 10-bit per-axis ranges relative to the min corner —
-    # beyond 1023 cells (~200-400 m extents at 0.2-0.4 m leaves) points
-    # would merge, far outside lidar range. The point payload rides the
-    # sort as extra operands: argsort-then-gather issued six random
-    # row-gathers here, and row-gathers (not the sort network) were the
-    # dominant cost of this function on TPU (PERF.md §1).
-    cy = jnp.clip(cell[:, 1], -1, 1023)
-    cz = jnp.clip(cell[:, 2], -1, 1023)
-    cx = jnp.clip(cell[:, 0], -1, 1023)
-    key_lo = (cy + 1) * 1025 + (cz + 1)
+    # clipped into 12-bit per-axis ranges relative to the min corner —
+    # beyond 4095 cells (819 m extent at the 0.2 m leaf, 1.6 km at 0.4)
+    # points would merge, far outside any lidar's reach. (10-bit packing
+    # previously merged real 150-400 m returns on the whole-window map
+    # insert path.) The point payload rides the sort as extra operands:
+    # argsort-then-gather issued six random row-gathers here, and
+    # row-gathers (not the sort network) were the dominant cost of this
+    # function on TPU (PERF.md §1).
+    cy = jnp.clip(cell[:, 1], -1, 4095)
+    cz = jnp.clip(cell[:, 2], -1, 4095)
+    cx = jnp.clip(cell[:, 0], -1, 4095)
+    key_lo = (cy + 1) * 4097 + (cz + 1)
+    # key_hi: invalid flag (bit 25) | ring+1 (<= 65, HDL-64E) << 13 |
+    # cx+1 (12 bits) — max valid value ~5.4e5 < 2^25, no collisions.
     key_hi = ((~mask).astype(jnp.int32) * (1 << 25)
-              + (ring_key + 1) * (1 << 11) + (cx + 1))
+              + (ring_key + 1) * (1 << 13) + (cx + 1))
     kh, kl, x_s, y_s, z_s, rel_s, ring_f_s = jax.lax.sort(
         (key_hi, key_lo, xyz[:, 0], xyz[:, 1], xyz[:, 2], ps.rel,
          ps.ring.astype(jnp.float32)), num_keys=2, is_stable=True)

@@ -17,8 +17,9 @@
 //     headers needed), sensor_msgs/PointCloud2 and sensor_msgs/Imu
 //     messages; exact-topic connection binding with single-connection
 //     type fallback.
-//   * Velodyne PCAP: VLP-16 / HDL-32E / HDL-64E single-return packets
-//     (1206-byte payloads, model auto-detected), azimuth-rollover
+//   * Velodyne PCAP: VLP-16 / HDL-32E / HDL-64E packets (1206-byte
+//     payloads, model auto-detected), single- and dual-return framing
+//     (dual keeps the strongest return per pair), azimuth-rollover
 //     sweep segmentation, per-point relative time.
 //   * PCD v0.7 binary write (x y z [intensity]).
 
@@ -529,16 +530,25 @@ inline void emit_point(double d, double el_deg, double az,
 
 void decode_packet(int model, const uint8_t* p, std::vector<float>* out_xyz,
                    std::vector<double>* out_az) {
+  // Dual-return framing (factory byte 1204 == 0x39, VLP-16/HDL-32
+  // manuals): blocks arrive as same-azimuth pairs (last, strongest);
+  // keep the strongest-return block of each pair so downstream sweep
+  // framing matches single-return captures.
+  bool dual = (model == MODEL_VLP16 || model == MODEL_HDL32) &&
+              p[1204] == 0x39;
   for (int b = 0; b < 12; b++) {
+    if (dual && (b % 2) == 0) continue;
     const uint8_t* blk = p + b * 100;
     uint16_t flag = rd_u16(blk);
     if (flag != 0xeeff && flag != 0xddff) continue;
     double az0 = rd_u16(blk + 2) / 100.0;
     if (model == MODEL_VLP16) {
-      // azimuth of the next block (for interpolation of firing 2)
+      // azimuth of the next distinct-azimuth block (for interpolation
+      // of firing 2): +1 in single-return framing, +2 in dual
+      int stride = dual ? 2 : 1;
       double az1 = az0;
-      if (b + 1 < 12) {
-        az1 = rd_u16(p + (b + 1) * 100 + 2) / 100.0;
+      if (b + stride < 12) {
+        az1 = rd_u16(p + (b + stride) * 100 + 2) / 100.0;
         if (az1 < az0) az1 += 360.0;
       } else {
         az1 = az0 + 0.4;  // nominal 2-firing advance at 600 rpm

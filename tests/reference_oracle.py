@@ -23,9 +23,16 @@ rotation-matrix products their trig expansions expand to; equality with
 the expanded reference formulas is machine-checked in
 tests/test_geometry.py and test_oracle.py.
 
-No IMU path: the oracle models the IMU-less configuration
-(launch/loam_velodyne.launch — no IMU remap), where every IMU term in
-the reference is exactly zero.
+IMU path (round 3): the full reference IMU state machine is modeled —
+history integration (BasicScanRegistration.cpp:82-98), per-point deskew
+to the sweep-start IMU frame (:101-134), the 4-point imuTrans summary
+(:258-281), odometry's velocity prior / shift correction /
+pluginIMURotation (BasicLaserOdometry.cpp:218, 626-649) including the
+IMU terms of transformToEnd (:58-87), and mapping's 0.998/0.002
+roll/pitch blend (BasicLaserMapping.cpp:171-203). Pass an ``OracleImu``
++ per-sweep stamps to enable it (the hector launch configuration,
+launch/hector_loam_velodyne.launch:11); without it every IMU term is
+exactly zero as in the default launch.
 
 This file deliberately mirrors reference CONTROL FLOW (sequential
 loops, push_back lists) rather than the repo's vectorized design — it
@@ -131,6 +138,82 @@ def knn(query, cloud, k):
 
 
 # ---------------------------------------------------------------------------
+# IMU state machine: BasicScanRegistration (:82-152, :258-281)
+# ---------------------------------------------------------------------------
+
+class OracleImu:
+    """IMU history with world-frame dead-reckoning integration
+    (updateIMUData, BasicScanRegistration.cpp:82-98) and the reference's
+    walk-and-lerp interpolation (interpolateIMUStateFor, :138-152).
+
+    push() takes (stamp, (roll, pitch, yaw), gravity-free acceleration
+    in the swapped camera frame) — i.e. after the handleIMUMessage axis
+    swap + gravity removal (ScanRegistration.cpp:164-184)."""
+
+    def __init__(self):
+        self.stamps: list = []
+        self.rpy: list = []      # (roll, pitch, yaw)
+        self.velo: list = []
+        self.pos: list = []
+
+    def push(self, stamp, rpy, acc_swapped):
+        # rotateZXY(acc, roll, pitch, yaw) == Ry(yaw) Rx(pitch) Rz(roll)
+        acc_world = rot_zxy(rpy[1], rpy[2], rpy[0]) @ np.asarray(acc_swapped,
+                                                                 np.float64)
+        if self.stamps:
+            dt = stamp - self.stamps[-1]
+            pos = self.pos[-1] + self.velo[-1] * dt + 0.5 * acc_world * dt * dt
+            velo = self.velo[-1] + acc_world * dt
+        else:
+            pos, velo = np.zeros(3), np.zeros(3)
+        self.stamps.append(float(stamp))
+        self.rpy.append(np.asarray(rpy, np.float64))
+        self.velo.append(velo)
+        self.pos.append(pos)
+
+    def has_data(self):
+        return bool(self.stamps)
+
+    def interpolate(self, query_time):
+        """(roll, pitch, yaw), velo, pos at an absolute time, with the
+        reference's end clamping + yaw wrap (:138-152, IMUState::interpolate)."""
+        idx = 0
+        n = len(self.stamps)
+        while idx < n - 1 and query_time - self.stamps[idx] > 0:
+            idx += 1
+        if idx == 0 or query_time - self.stamps[idx] > 0:
+            return (self.rpy[idx].copy(), self.velo[idx].copy(),
+                    self.pos[idx].copy())
+        ratio = (self.stamps[idx] - query_time) \
+            / (self.stamps[idx] - self.stamps[idx - 1])
+        new, old = idx, idx - 1
+        inv = 1 - ratio
+        y_new, y_old = self.rpy[new][2], self.rpy[old][2]
+        if y_new - y_old > math.pi:
+            y_old += 2 * math.pi
+        elif y_new - y_old < -math.pi:
+            y_old -= 2 * math.pi
+        rpy = np.array([self.rpy[new][0] * inv + self.rpy[old][0] * ratio,
+                        self.rpy[new][1] * inv + self.rpy[old][1] * ratio,
+                        y_new * inv + y_old * ratio])
+        velo = self.velo[new] * inv + self.velo[old] * ratio
+        pos = self.pos[new] * inv + self.pos[old] * ratio
+        return rpy, velo, pos
+
+
+class ImuTrans:
+    """The 4-point imuTrans summary (updateIMUTransform, :258-281).
+    Angle triplets are stored in (x, y, z)=(pitch, yaw, roll) order,
+    exactly as packed into the imuTrans cloud."""
+
+    def __init__(self):
+        self.start_pyr = np.zeros(3)
+        self.end_pyr = np.zeros(3)
+        self.shift_from_start = np.zeros(3)
+        self.velo_from_start = np.zeros(3)
+
+
+# ---------------------------------------------------------------------------
 # Ingest: MultiScanRegistration::process (:157-236)
 # ---------------------------------------------------------------------------
 
@@ -167,9 +250,16 @@ class OracleParams:
         return (self.n_rings - 1) / (self.upper_bound - self.lower_bound)
 
 
-def ingest(pts_in, p: OracleParams) -> List[np.ndarray]:
+def ingest(pts_in, p: OracleParams, imu: OracleImu | None = None,
+           scan_time: float = 0.0):
     """Sensor-frame (N,3) -> per-ring lists of (x,y,z,intensity) rows in
-    the swapped camera frame, intensity = ringID + relTime."""
+    the swapped camera frame, intensity = ringID + relTime.
+
+    With an ``imu``, each point is additionally deskewed to the
+    sweep-start IMU frame (projectPointToStartOfSweep +
+    transformToStartIMU, BasicScanRegistration.cpp:101-134) and the
+    (rings, imu_trans) pair is returned (updateIMUTransform, :258-281).
+    """
     n = len(pts_in)
     start_ori = -math.atan2(pts_in[0][1], pts_in[0][0])
     end_ori = -math.atan2(pts_in[-1][1], pts_in[-1][0]) + 2 * math.pi
@@ -177,6 +267,14 @@ def ingest(pts_in, p: OracleParams) -> List[np.ndarray]:
         end_ori -= 2 * math.pi
     elif end_ori - start_ori < math.pi:
         end_ori += 2 * math.pi
+
+    use_imu = imu is not None and imu.has_data()
+    trans = ImuTrans()
+    if use_imu:
+        rpy_s, velo_s, pos_s = imu.interpolate(scan_time)
+        r_start = rot_zxy(rpy_s[1], rpy_s[2], rpy_s[0])  # Ry(yaw)Rx(p)Rz(r)
+        rpy_c, velo_c, pos_c = rpy_s, velo_s, pos_s
+        shift_cur = np.zeros(3)
 
     rings: List[list] = [[] for _ in range(p.n_rings)]
     half_passed = False
@@ -206,8 +304,23 @@ def ingest(pts_in, p: OracleParams) -> List[np.ndarray]:
             elif ori > end_ori + math.pi / 2:
                 ori -= 2 * math.pi
         rel_time = p.scan_period * (ori - start_ori) / (end_ori - start_ori)
-        rings[ring].append((x, y, z, ring + rel_time))
-    return [np.array(r, np.float64).reshape(-1, 4) for r in rings]
+        pt = np.array([x, y, z])
+        if use_imu:
+            # setIMUTransformFor (:113-119) + transformToStartIMU (:122-134)
+            rpy_c, velo_c, pos_c = imu.interpolate(scan_time + rel_time)
+            shift_cur = pos_c - pos_s - velo_s * rel_time
+            pt = rot_zxy(rpy_c[1], rpy_c[2], rpy_c[0]) @ pt + shift_cur
+            pt = r_start.T @ pt
+        rings[ring].append((pt[0], pt[1], pt[2], ring + rel_time))
+
+    rings = [np.array(r, np.float64).reshape(-1, 4) for r in rings]
+    if use_imu:
+        # updateIMUTransform packs (pitch, yaw, roll) into xyz (:258-281)
+        trans.start_pyr = np.array([rpy_s[1], rpy_s[2], rpy_s[0]])
+        trans.end_pyr = np.array([rpy_c[1], rpy_c[2], rpy_c[0]])
+        trans.shift_from_start = r_start.T @ shift_cur
+        trans.velo_from_start = r_start.T @ (velo_c - velo_s)
+    return rings, trans
 
 
 # ---------------------------------------------------------------------------
@@ -353,6 +466,7 @@ class OracleOdometry:
         self.transform_sum = np.zeros(6)  # accumulated pose
         self.last_corner = np.zeros((0, 4))
         self.last_surf = np.zeros((0, 4))
+        self.imu = ImuTrans()             # updateIMU (:181-194)
 
     def _to_start(self, pt):
         """transformToStart (:40-53)."""
@@ -362,8 +476,12 @@ class OracleOdometry:
         return rot_zxy(r[0], r[1], r[2]) @ po
 
     def _to_end(self, cloud):
-        """transformToEnd (:58-87), IMU terms zero."""
+        """transformToEnd (:58-87), including the IMU start/end terms."""
         out = cloud.copy()
+        ps, ys, rs = self.imu.start_pyr
+        pe, ye, re = self.imu.end_pyr
+        r_start = rot_zxy(ps, ys, rs)
+        r_end = rot_zxy(pe, ye, re)
         for i in range(len(cloud)):
             pt = cloud[i]
             s = (1.0 / self.p.scan_period) * (pt[3] - int(pt[3]))
@@ -373,17 +491,29 @@ class OracleOdometry:
             # rotateYXZ(point, ry, rx, rz) then add pos
             po = (rot_z_mat(self.transform[2]) @ rot_x_mat(self.transform[0])
                   @ rot_y_mat(self.transform[1]) @ po) + self.transform[3:]
+            po = po - self.imu.shift_from_start
+            # rotateZXY(pt, rollS, pitchS, yawS); rotateYXZ(pt, -yawE,
+            # -pitchE, -rollE) (:81-84) — identity when IMU absent
+            po = r_end.T @ (r_start @ po)
             out[i, :3] = po
             out[i, 3] = int(pt[3])
         return out
 
-    def process(self, sharp, less_sharp, flat, less_flat):
+    def process(self, sharp, less_sharp, flat, less_flat,
+                imu_trans: ImuTrans | None = None):
         p = self.p
+        self.imu = imu_trans or ImuTrans()
         if not self.inited:
             self.last_corner = less_sharp
             self.last_surf = less_flat
+            # seed attitude from the IMU (:207-208)
+            self.transform_sum[0] += self.imu.start_pyr[0]
+            self.transform_sum[2] += self.imu.start_pyr[2]
             self.inited = True
             return self.transform_sum.copy()
+
+        # motion prior from the IMU velocity drift (:218)
+        self.transform[3:] -= self.imu.velo_from_start * p.scan_period
 
         n_sharp = len(sharp)
         n_flat = len(flat)
@@ -574,14 +704,16 @@ class OracleOdometry:
                 if delta_r < p.odo_delta_r_abort and delta_t < p.odo_delta_t_abort:
                     break
 
-        # accumulate (:626-649), IMU terms zero
+        # accumulate (:626-649) with the IMU shift + rotation plugin
         rot = accumulate_rotation(
             self.transform_sum[:3],
             np.array([-self.transform[0], -self.transform[1] * 1.05,
                       -self.transform[2]]))
-        v = np.array([self.transform[3], self.transform[4],
-                      self.transform[5] * 1.05])
+        v = np.array([self.transform[3] - self.imu.shift_from_start[0],
+                      self.transform[4] - self.imu.shift_from_start[1],
+                      self.transform[5] * 1.05 - self.imu.shift_from_start[2]])
         trans = self.transform_sum[3:] - rot_zxy(*rot) @ v
+        rot = plugin_imu_rotation(rot, self.imu.start_pyr, self.imu.end_pyr)
         self.transform_sum = np.concatenate([rot, trans])
 
         self.last_corner = self._to_end(less_sharp)
@@ -603,6 +735,37 @@ class OracleMapping:
         self.tobe = np.zeros(6)
         self.aft = np.zeros(6)
         self.bef = np.zeros(6)
+        # LaserMapping's own IMU subscription: (stamp, roll, pitch)
+        # history for the transformUpdate blend (:171-203)
+        self.imu_stamps: list = []
+        self.imu_roll: list = []
+        self.imu_pitch: list = []
+
+    def push_imu(self, stamp, roll, pitch):
+        self.imu_stamps.append(float(stamp))
+        self.imu_roll.append(float(roll))
+        self.imu_pitch.append(float(pitch))
+
+    def _transform_update_imu(self, odom_time):
+        """The 0.998/0.002 roll/pitch blend at laserOdometryTime +
+        scanPeriod (BasicLaserMapping::transformUpdate, :171-203)."""
+        if not self.imu_stamps:
+            return
+        p = self.p
+        idx, n = 0, len(self.imu_stamps)
+        while idx < n - 1 and \
+                (odom_time - self.imu_stamps[idx]) + p.scan_period > 0:
+            idx += 1
+        if idx == 0 or (odom_time - self.imu_stamps[idx]) + p.scan_period > 0:
+            roll, pitch = self.imu_roll[idx], self.imu_pitch[idx]
+        else:
+            ratio = ((self.imu_stamps[idx] - odom_time) - p.scan_period) \
+                / (self.imu_stamps[idx] - self.imu_stamps[idx - 1])
+            inv = 1 - ratio
+            roll = self.imu_roll[idx] * inv + self.imu_roll[idx - 1] * ratio
+            pitch = self.imu_pitch[idx] * inv + self.imu_pitch[idx - 1] * ratio
+        self.tobe[0] = 0.998 * self.tobe[0] + 0.002 * pitch
+        self.tobe[2] = 0.998 * self.tobe[2] + 0.002 * roll
 
     def _to_index(self, i, j, k):
         return i + self.p.grid_w * j + self.p.grid_w * self.p.grid_h * k
@@ -648,7 +811,8 @@ class OracleMapping:
                     self.corner_cubes[idx] = line_c[c]
                     self.surf_cubes[idx] = line_s[c]
 
-    def process(self, corner_last, surf_last, transform_sum):
+    def process(self, corner_last, surf_last, transform_sum,
+                odom_time: float | None = None):
         p = self.p
         self.tobe = transform_associate_to_map(transform_sum, self.bef,
                                                self.aft)
@@ -732,7 +896,9 @@ class OracleMapping:
 
         self._optimize(corner_stack, surf_stack, map_corner, map_surf)
 
-        # transformUpdate (:171-203), no IMU
+        # transformUpdate (:171-203): IMU roll/pitch blend, then latch
+        if odom_time is not None:
+            self._transform_update_imu(odom_time)
         self.bef = transform_sum.copy()
         self.aft = self.tobe.copy()
 
@@ -877,28 +1043,44 @@ class OraclePipeline:
     gated) mapping -> maintenance, like launch/loam_velodyne.launch with
     deterministic in-order message delivery."""
 
-    def __init__(self, params: OracleParams | None = None):
+    def __init__(self, params: OracleParams | None = None,
+                 imu: OracleImu | None = None):
         self.p = params or OracleParams()
         self.odo = OracleOdometry(self.p)
         self.mapping = OracleMapping(self.p)
+        self.imu = imu
         self.sweep = 0
 
-    def process_sweep(self, pts):
+    def push_imu(self, stamp, rpy, acc_swapped):
+        """Feed one IMU sample to both subscribers (registration's full
+        state history and mapping's roll/pitch history), like the
+        /imu/data fan-out in the hector launch."""
+        if self.imu is None:
+            self.imu = OracleImu()
+        self.imu.push(stamp, rpy, acc_swapped)
+        self.mapping.push_imu(stamp, rpy[0], rpy[1])
+
+    def process_sweep(self, pts, stamp: float = 0.0):
         p = self.p
-        rings = ingest(np.asarray(pts, np.float64), p)
+        rings, imu_trans = ingest(np.asarray(pts, np.float64), p,
+                                  imu=self.imu, scan_time=stamp)
         sharp, less_sharp, flat, less_flat = extract_features(rings, p)
-        odom = self.odo.process(sharp, less_sharp, flat, less_flat)
+        odom = self.odo.process(sharp, less_sharp, flat, less_flat,
+                                imu_trans)
 
         # LaserOdometry forwards clouds every ioRatio frames
         # (LaserOdometry.cpp:320), never on the init frame.
         if self.sweep % p.io_ratio == 1:
             self.mapping.process(self.odo.last_corner, self.odo.last_surf,
-                                 odom)
+                                 odom, odom_time=stamp)
         fused = transform_associate_to_map(odom, self.mapping.bef,
                                            self.mapping.aft)
         self.sweep += 1
         return {"odom": odom, "aft": self.mapping.aft.copy(),
                 "fused": fused}
 
-    def run(self, sweeps):
-        return np.stack([self.process_sweep(s)["fused"] for s in sweeps])
+    def run(self, sweeps, stamps=None):
+        if stamps is None:
+            stamps = [k * self.p.scan_period for k in range(len(sweeps))]
+        return np.stack([self.process_sweep(s, t)["fused"]
+                         for s, t in zip(sweeps, stamps)])

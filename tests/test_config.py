@@ -47,3 +47,32 @@ def test_derived_quantities():
     assert m.n_neighborhood_cubes == 125
     r = RegistrationConfig()
     assert r.max_corner_less_sharp == 20
+
+
+def test_no_dead_config_fields():
+    """Every config field must be READ somewhere outside config.py.
+
+    This bug class has shipped twice (round 1: dead ``map_frame_num``;
+    round 2: dead ``line_eigen_ratio`` — fit.line_fit hardcoded the 3.0
+    ratio, so overrides silently did nothing). A field that no module
+    references is either dead or read through an indirection this audit
+    can't see; both deserve a failing test until explained.
+    """
+    import pathlib
+
+    from loam_velodyne_tpu.config import (Capacities, LidarConfig,
+                                          OdometryConfig)
+
+    pkg = pathlib.Path(__file__).resolve().parent.parent / "loam_velodyne_tpu"
+    sources = [p.read_text() for p in pkg.rglob("*.py")
+               if p.name != "config.py"]
+    blob = "\n".join(sources)
+
+    dead = []
+    for cls in (LidarConfig, RegistrationConfig, OdometryConfig,
+                MappingConfig, Capacities):
+        for f in dataclasses.fields(cls):
+            # attribute read (``.name``) anywhere in the package
+            if f".{f.name}" not in blob:
+                dead.append(f"{cls.__name__}.{f.name}")
+    assert not dead, f"config fields never read outside config.py: {dead}"

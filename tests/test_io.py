@@ -100,6 +100,67 @@ def test_pcap_python_decode(tmp_path):
         assert len(s) > 400
 
 
+def test_pcap_dual_return_keeps_strongest(tmp_path):
+    """Dual-return captures (factory byte 0x39) arrive as same-azimuth
+    block pairs (last, strongest); the decoder must keep the strongest
+    block of each pair so framing matches single-return captures."""
+    rng = np.random.default_rng(5)
+    packets = []
+    az = 0.0
+    strongest_ranges = []
+    for _ in range(12):   # 12 packets x 6 distinct azimuths x 15 deg = 3 revs
+        azs, ranges = [], np.zeros((12, 32))
+        for pair in range(6):
+            a = (az + 15.0 * pair) % 360.0
+            azs += [a, a]
+            last = rng.uniform(2.0, 50.0, 32)
+            strongest = rng.uniform(2.0, 50.0, 32)
+            ranges[2 * pair] = last
+            ranges[2 * pair + 1] = strongest
+            strongest_ranges.append(strongest)
+        packets.append(pcap_io.make_vlp16_packet(
+            azs, ranges, return_mode=pcap_io.RETURN_DUAL))
+        az = (az + 15.0 * 6) % 360.0
+    p = str(tmp_path / "dual.pcap")
+    pcap_io.write_pcap(p, packets)
+
+    assert pcap_io.detect_return_mode(packets[0]) == pcap_io.RETURN_DUAL
+    # native=True must auto-route to the python decoder on dual captures
+    sweeps, _ = pcap_io.read_pcap_sweeps(p, None, native=True)
+    assert len(sweeps) == 3
+    got_r = np.sort(np.linalg.norm(np.concatenate(sweeps), axis=1))
+    want_r = np.sort(np.concatenate(strongest_ranges))
+    np.testing.assert_allclose(got_r, want_r[:len(got_r)], atol=2e-2)
+
+
+def test_pcap_per_unit_calibration(tmp_path):
+    """A per-unit elevation table (JSON or velodyne-YAML) replaces the
+    nominal datasheet table in the decode."""
+    import json
+    p = str(tmp_path / "cap.pcap")
+    _make_test_pcap(p)
+    calib = np.asarray(pcap_io.VLP16_ELEVATIONS_DEG) + 0.5
+    cpath = str(tmp_path / "calib.json")
+    json.dump({"elevations_deg": calib.tolist()}, open(cpath, "w"))
+
+    base, _ = pcap_io.read_pcap_sweeps(p, None, native=False)
+    cal, _ = pcap_io.read_pcap_sweeps(
+        p, None, native=False, calibration=pcap_io.load_calibration(cpath))
+    # same ranges, shifted elevations: z differs, range preserved
+    r0 = np.linalg.norm(base[0], axis=1)
+    r1 = np.linalg.norm(cal[0], axis=1)
+    np.testing.assert_allclose(r0, r1, atol=1e-5)
+    assert np.abs(cal[0][:, 2] - base[0][:, 2]).max() > 0.01
+
+    # velodyne_pointcloud-style YAML parses to the same table
+    ypath = str(tmp_path / "calib.yaml")
+    with open(ypath, "w") as f:
+        for v in np.radians(calib):
+            f.write(f"  - {{laser_id: 0, vert_correction: {v:.8f}}}\n")
+    np.testing.assert_allclose(pcap_io.load_calibration(ypath), calib,
+                               atol=1e-5)
+
+
 def test_pcap_native_matches_python(tmp_path):
     if load_native() is None:
         pytest.skip("native toolchain unavailable")

@@ -91,6 +91,132 @@ def test_scatter_respects_existing_and_capacity(rng):
     assert int(np.asarray(cnt2).max()) == cap  # capped, not overflowed
 
 
+def _cloud(pts: np.ndarray, cap: int) -> PointSet:
+    xyz = np.zeros((cap, 3), np.float32)
+    n = min(len(pts), cap)
+    xyz[:n] = pts[:n]
+    mask = np.zeros(cap, bool)
+    mask[:n] = True
+    return PointSet(xyz=jnp.asarray(xyz), rel=jnp.zeros(cap, jnp.float32),
+                    ring=jnp.zeros(cap, jnp.int32), mask=jnp.asarray(mask))
+
+
+def test_far_points_persist_in_map(rng):
+    """Whole-window insertion: returns beyond the +-2-cube neighborhood
+    (ranges 150-400 m) must enter the map like the reference's push_back
+    (BasicLaserMapping.cpp:536-577 has no radius limit), not vanish.
+    Round-2 divergence: only the +-2-cube neighborhood received inserts."""
+    state = mapping.MappingState.create(CFG)
+    near = rng.uniform(-40, 40, (512, 3)).astype(np.float32)
+    r = rng.uniform(150, 400, (64,)).astype(np.float32)
+    theta = rng.uniform(0, 2 * np.pi, (64,)).astype(np.float32)
+    far = np.stack([r * np.cos(theta), rng.uniform(-5, 5, 64),
+                    r * np.sin(theta)], axis=1).astype(np.float32)
+    surf = _cloud(np.concatenate([near, far]), 2048)
+    corner = _cloud(near[:64], 512)
+
+    mstate, mouts = mapping.step(state, jnp.zeros(6, jnp.float32),
+                                 corner, surf, CFG)
+    xyz, msk = mapping.full_map(mstate, CFG)
+    stored = np.asarray(xyz)[np.asarray(msk)]
+    # every far point (as its voxel centroid) is in the stored map;
+    # the input stack is voxel-thinned at surf_leaf first, so match to
+    # within a leaf diagonal
+    for p in far:
+        d = np.linalg.norm(stored - p[None, :], axis=1).min()
+        assert d < M.surf_leaf * np.sqrt(3), (p, d)
+    tel = mouts.telemetry
+    assert int(np.asarray(tel.cube_surf_dropped)) == 0
+    assert int(np.asarray(tel.cube_corner_dropped)) == 0
+
+
+def test_thin_on_overflow_not_truncation(rng):
+    """A burst past slab capacity is evicted by voxel thinning (points
+    merge into leaf cells), not truncated: the insert lands in headroom
+    rows, the re-thin brings occupancy back under capacity, and no
+    points are reported dropped."""
+    cap = M.surf_cube_capacity
+    state = mapping.MappingState.create(CFG)
+    # (cap + 1024) points inside ONE cube, denser than the 0.4 m leaf:
+    # thinned occupancy = #occupied cells << cap
+    n = cap + 1024
+    side = int(np.ceil(np.sqrt(n / 4)))
+    gx, gz = np.meshgrid(np.arange(side), np.arange(side))
+    base = np.stack([gx.ravel() * 0.2 - 10, np.zeros(side * side),
+                     gz.ravel() * 0.2 - 10], axis=1)[:n]
+    pts = (base + rng.normal(0, 0.01, base.shape)).astype(np.float32)
+    surf = _cloud(pts, 8192)
+    corner = _cloud(pts[:128], 512)
+    mstate, mouts = mapping.step(state, jnp.zeros(6, jnp.float32),
+                                 corner, surf, CFG)
+    tel = mouts.telemetry
+    assert int(np.asarray(tel.cube_surf_dropped)) == 0
+    assert int(np.asarray(mstate.surf_cnt).max()) <= cap
+
+
+def test_archive_absorbs_saturated_cube(rng):
+    """Geometry denser than the slab capacity (a corridor cube wants
+    ~8k surf cells at the 0.4 leaf) must spill into the archive pool,
+    not be dropped: repeated saturated inserts report zero losses and
+    full_map retains more surf points than one slab can hold."""
+    import dataclasses
+    cap = 256
+    cfg = dataclasses.replace(
+        CFG, mapping=dataclasses.replace(CFG.mapping,
+                                         surf_cube_capacity=cap,
+                                         insert_headroom=256))
+    m = cfg.mapping
+    state = mapping.MappingState.create(cfg)
+    # ~3*cap distinct 0.4-leaf cells inside one cube, fed over 3 steps
+    side = int(np.ceil(np.sqrt(cap * 3)))
+    gx, gz = np.meshgrid(np.arange(side), np.arange(side))
+    base = np.stack([gx.ravel() * 0.4 - 12, np.zeros(side * side),
+                     gz.ravel() * 0.4 - 12], axis=1)[:cap * 3]
+    drops = 0
+    import jax
+    step = jax.jit(lambda s, c, sf: mapping.step(
+        s, jnp.zeros(6, jnp.float32), c, sf, cfg))
+    for k in range(3):
+        chunk = base[k * cap:(k + 1) * cap].astype(np.float32)
+        state, mouts = step(state, _cloud(chunk[:32], 512),
+                            _cloud(chunk, 2048))
+        drops += int(np.asarray(mouts.telemetry.cube_surf_dropped))
+    assert drops == 0, drops
+    xyz, msk = mapping.full_map(state, cfg)
+    stored = np.asarray(xyz)[np.asarray(msk)]
+    # every input cell is represented somewhere (slab or archive)
+    for p in base[::7]:
+        d = np.linalg.norm(stored - p[None, :], axis=1).min()
+        assert d < 0.4, (p, d)
+    assert int(np.asarray(state.archive_cnt)) > 0
+
+
+def test_archive_compaction_dedups_and_clears(rng):
+    """compact_archive merges duplicate cells, sheds invalidated rows,
+    and front-packs the pool."""
+    cfg = CFG
+    m = cfg.mapping
+    a = 64
+    xyz = np.zeros((a, 3), np.float32)
+    xyz[0] = [1.0, 1.0, 1.0]
+    xyz[1] = [1.01, 1.01, 1.01]    # same 0.4-leaf cell as row 0
+    xyz[2] = [5.0, 0.0, 0.0]
+    xyz[3] = [9.0, 0.0, 0.0]       # will be invalidated
+    valid = np.zeros(a, bool)
+    valid[:4] = True
+    valid[3] = False
+    kind = np.ones(a, np.int32)
+    sidx = np.arange(a, dtype=np.int32) % m.n_cubes
+    pool = (jnp.asarray(xyz), jnp.asarray(sidx), jnp.asarray(kind),
+            jnp.asarray(valid), jnp.asarray(4, jnp.int32))
+    out_xyz, out_sidx, out_kind, out_valid, out_cnt = \
+        mapping.compact_archive(pool, m)
+    assert int(np.asarray(out_cnt)) == 2          # dup merged, invalid shed
+    kept = np.asarray(out_xyz)[np.asarray(out_valid)]
+    assert {tuple(np.round(r, 1)) for r in kept} == {(1.0, 1.0, 1.0),
+                                                     (5.0, 0.0, 0.0)}
+
+
 def test_windowed_knn_matches_bruteforce(rng):
     ref_pts = rng.uniform(-5, 5, (2048, 3)).astype(np.float32)
     ref_mask = np.ones(2048, bool)

@@ -18,8 +18,8 @@ from loam_velodyne_tpu.utils import math as lm
 
 import jax.numpy as jnp
 
-from reference_oracle import (OraclePipeline, accumulate_rotation,
-                              plugin_imu_rotation,
+from reference_oracle import (OracleImu, OraclePipeline,
+                              accumulate_rotation, plugin_imu_rotation,
                               transform_associate_to_map, voxel_grid)
 
 
@@ -113,6 +113,86 @@ def test_engine_matches_oracle_noisy_turns():
     ate_repo = ate_rmse(est, gt, align=True)
     ate_oracle = ate_rmse(oracle_fused, gt, align=True)
     print(f"repo-vs-oracle ATE {ate_cross:.4f} m | repo-vs-gt "
+          f"{ate_repo:.4f} m | oracle-vs-gt {ate_oracle:.4f} m")
+    assert ate_cross < 0.05, ate_cross
+    assert ate_repo < 0.15 and ate_oracle < 0.15
+
+
+@pytest.mark.slow
+def test_engine_matches_oracle_noisy_turns_30_sweeps():
+    """Length-robustness of the parity gate (VERDICT round 2, task 2):
+    the round-2 gate passed with a 10% margin at 10 sweeps, with
+    cross-drift growing in sequence length. 30 sweeps of noisy turning
+    must stay within the same 5 cm budget with real margin."""
+    n = 30
+    sweeps, gt, _ = synthetic.generate_sequence(
+        n, n_azimuth=900, speed=1.0, noise_std=0.005,
+        traj=_turning_traj())
+
+    oracle = OraclePipeline()
+    oracle_fused = oracle.run(sweeps)[:, 3:]
+
+    drv = LoamDriver(LoamConfig.preset("VLP-16"), system_delay=0)
+    est = drv.run(sweeps)
+
+    ate_cross = ate_rmse(est, oracle_fused, align=True)
+    ate_repo = ate_rmse(est, gt, align=True)
+    ate_oracle = ate_rmse(oracle_fused, gt, align=True)
+    print(f"30-sweep repo-vs-oracle ATE {ate_cross:.4f} m | repo-vs-gt "
+          f"{ate_repo:.4f} m | oracle-vs-gt {ate_oracle:.4f} m")
+    assert ate_cross < 0.05, ate_cross
+    assert ate_repo < 0.15 and ate_oracle < 0.15
+
+
+def _imu_stream(n_sweeps, rate_hz=100.0, t0=-0.2):
+    """Synthetic rocking-attitude IMU samples: (stamp, (roll, pitch,
+    yaw), swapped gravity-free acceleration). Gentle angles and small
+    accelerations — corrections of the size a ground vehicle's IMU
+    produces, identical input for the engine tracker and the oracle."""
+    stamps = np.arange(t0, n_sweeps * 0.1 + 0.2, 1.0 / rate_hz)
+    out = []
+    for t in stamps:
+        roll = 0.02 * np.sin(7.0 * t)
+        pitch = 0.015 * np.cos(5.0 * t)
+        yaw = 0.0
+        acc = (0.05 * np.sin(3.0 * t), 0.02 * np.cos(4.0 * t), 0.0)
+        out.append((float(t), (roll, pitch, yaw), acc))
+    return out
+
+
+@pytest.mark.slow
+def test_engine_matches_oracle_with_imu():
+    """End-to-end parity with the IMU pipeline ACTIVE (the hector
+    launch configuration, launch/hector_loam_velodyne.launch:11):
+    per-point deskew, imuTrans consumption in odometry, and the mapping
+    attitude blend all live in both implementations, fed identical
+    samples (VERDICT round 2, task 4)."""
+    from loam_velodyne_tpu.io.imu import ImuTracker
+
+    n = 10
+    sweeps, gt, _ = synthetic.generate_sequence(
+        n, n_azimuth=900, speed=1.0, noise_std=0.003,
+        traj=_turning_traj())
+    stamps = [0.1 * k for k in range(n)]
+    samples = _imu_stream(n)
+
+    oracle = OraclePipeline()
+    for t, rpy, acc in samples:
+        oracle.push_imu(t, rpy, acc)
+    oracle_fused = oracle.run(sweeps, stamps)[:, 3:]
+
+    drv = LoamDriver(LoamConfig.preset("VLP-16"), system_delay=0)
+    drv.imu_tracker = ImuTracker()
+    for t, rpy, acc in samples:
+        drv.imu_tracker.push_state(t, rpy, acc)
+    for pts, t in zip(sweeps, stamps):
+        drv.process_sweep(pts, t)
+    est = drv.positions()
+
+    ate_cross = ate_rmse(est, oracle_fused, align=True)
+    ate_repo = ate_rmse(est, gt, align=True)
+    ate_oracle = ate_rmse(oracle_fused, gt, align=True)
+    print(f"IMU repo-vs-oracle ATE {ate_cross:.4f} m | repo-vs-gt "
           f"{ate_repo:.4f} m | oracle-vs-gt {ate_oracle:.4f} m")
     assert ate_cross < 0.05, ate_cross
     assert ate_repo < 0.15 and ate_oracle < 0.15
