@@ -148,12 +148,29 @@ def bench_live_latency(cfg, sweeps, n=12, cap=CAP):
 
 def main():
     full = "--headline-only" not in sys.argv
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    # --set mapping.surf_cube_capacity=1024 ... : dotted config overrides
+    # for perf A/B sessions (same syntax as the CLI).
+    overrides = []
+    argv = sys.argv[1:]
+    i = 0
+    args = []
+    while i < len(argv):
+        if argv[i] == "--set":
+            overrides.append(argv[i + 1])
+            i += 2
+        elif argv[i].startswith("--"):
+            i += 1
+        else:
+            args.append(argv[i])
+            i += 1
     n_sweeps = int(args[0]) if len(args) > 0 else 48
     batch = int(args[1]) if len(args) > 1 else 8
     chunk = 8
     assert n_sweeps % chunk == 0, "n_sweeps must be a multiple of 8"
     cfg = LoamConfig.preset("VLP-16")
+    if overrides:
+        from loam_velodyne_tpu.cli import _apply_overrides
+        cfg = _apply_overrides(cfg, overrides)
 
     traj = synthetic.turning_trajectory(speed=1.0)
     sweeps, gt, _ = synthetic.generate_sequence(n_sweeps, n_azimuth=900,

@@ -26,6 +26,22 @@ import sys
 import time
 
 
+def _enable_tpu_cache():
+    """Persistent compile cache for device (TPU) runs — every new XLA
+    program costs minutes of remote compile on the axon tunnel. CPU
+    stays uncached (XLA:CPU AOT cache loads can SIGILL on machine-
+    feature mismatch; see tests/conftest.py)."""
+    import jax
+    try:
+        if jax.default_backend() != "cpu":
+            jax.config.update("jax_compilation_cache_dir",
+                              "/root/repo/.jax_cache")
+            jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", 0.0)
+    except Exception:
+        pass
+
+
 def _apply_overrides(cfg, overrides):
     """Apply dotted-path overrides to the frozen config tree."""
     for item in overrides or []:
@@ -91,6 +107,7 @@ def _load_sweeps(args, cfg):
 
 def cmd_run(args):
     import numpy as np
+    _enable_tpu_cache()
     cfg = _build_config(args)
 
     from loam_velodyne_tpu.io.driver import LoamDriver
@@ -160,6 +177,7 @@ def cmd_bench(args):
 
 def cmd_profile(args):
     """Capture a JAX device trace over N sweeps (TensorBoard/Perfetto)."""
+    _enable_tpu_cache()
     cfg = _build_config(args)
     from loam_velodyne_tpu.io import synthetic
     from loam_velodyne_tpu.io.driver import LoamDriver

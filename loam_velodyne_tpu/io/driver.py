@@ -124,6 +124,13 @@ class LoamDriver:
             self.save_checkpoint(self.checkpoint_path)
         return outs
 
+    # Telemetry counter names in EngineOutputs.packed[20:27] order.
+    _PACKED_COUNTERS = (
+        "ingest_dropped", "feature_dropped",
+        "cube_corner_dropped", "cube_surf_dropped",
+        "stack_corner_dropped", "stack_surf_dropped",
+        "active_cube_deficit")
+
     def _record_telemetry(self, tel: engine_mod.Telemetry,
                           n_sweeps: int = 1) -> None:
         """Accumulate the engine's overflow counters (scalars, or (K,)
@@ -144,6 +151,26 @@ class LoamDriver:
             self._sweeps_since_compact_check = 0
             self._maybe_compact_archive()
 
+    def _consume_packed(self, p: np.ndarray) -> None:
+        """Record trajectories + telemetry + cadence events from
+        EngineOutputs.packed rows ((27,) or (K, 27); layout documented
+        in models.engine.EngineOutputs). This is the throughput/latency
+        readback path: ONE device array instead of a leaf-per-field
+        pytree fetch (each small leaf pays its own remote-tunnel RTT)."""
+        p = np.atleast_2d(np.asarray(p))
+        for row in p:
+            self.odom_trajectory.append(row[0:6].copy())
+            self.mapped_trajectory.append(row[6:12].copy())
+            self.trajectory.append(row[12:18].copy())
+        for i, name in enumerate(self._PACKED_COUNTERS):
+            self.metrics.count(name, int(np.sum(p[:, 20 + i])))
+        self._sweeps_since_compact_check += len(p)
+        if self._sweeps_since_compact_check >= self._compact_check_every:
+            self._sweeps_since_compact_check = 0
+            self._maybe_compact_archive()
+        if np.any(p[:, 19] > 0):      # surround_due on any sweep
+            self._build_surround()
+
     def _maybe_compact_archive(self) -> None:
         """Dedup-compact the map archive pool when it passes 3/4 full
         (evict/re-observe churn appends duplicate voxel cells; see
@@ -156,11 +183,11 @@ class LoamDriver:
         if self._compact_fn is None:
             self._compact_fn = jax.jit(
                 lambda pool: mapping_mod.compact_archive(pool, mcfg))
-        pool = (ms.archive_xyz, ms.archive_sidx, ms.archive_kind,
+        pool = (ms.archive_xyz, ms.archive_kind,
                 ms.archive_valid, ms.archive_cnt)
-        xyz, sidx, kind, valid, cnt = self._compact_fn(pool)
+        xyz, kind, valid, cnt = self._compact_fn(pool)
         self.state = self.state._replace(mapping=ms._replace(
-            archive_xyz=xyz, archive_sidx=sidx, archive_kind=kind,
+            archive_xyz=xyz, archive_kind=kind,
             archive_valid=valid, archive_cnt=cnt))
         self.metrics.count("archive_compactions")
 
@@ -219,26 +246,23 @@ class LoamDriver:
         while not done:
             t0 = time.perf_counter()
             self.state, outs = self._step(self.state, cur)
-            # enqueue the output readback FIRST — the remote tunnel is a
+            # enqueue the packed readback FIRST — the remote tunnel is a
             # FIFO, so issuing the next sweep's host->device copy before
             # the readback would put a full transfer on the readback's
-            # critical path
-            for leaf in jax.tree_util.tree_leaves(outs):
-                leaf.copy_to_host_async()
+            # critical path. Only the (27,) packed array crosses per
+            # sweep; everything else stays on device.
+            outs.packed.copy_to_host_async()
             # overlap: stage the NEXT sweep while the device runs this one
             try:
                 cur = self.pad_sweep(next(it))
             except StopIteration:
                 done = True
-            outs = jax.device_get(outs)                # sync point
+            packed = np.asarray(outs.packed)           # sync point
             dt = time.perf_counter() - t0
             lat.append(dt)
             self.step_times.append(dt)
             self.metrics.record("step", dt)
-            self._record_telemetry(outs.telemetry)
-            self.trajectory.append(outs.fused_pose)
-            self.odom_trajectory.append(outs.odom_pose)
-            self.mapped_trajectory.append(outs.mapped_pose)
+            self._consume_packed(packed)
         return lat
 
     def run_chunked(self, sweeps: List[np.ndarray], chunk: int = 8,
@@ -287,17 +311,12 @@ class LoamDriver:
                                                          stacked)
             else:
                 self.state, outs = self._chunk_step[key](self.state, raws)
-            outs = jax.device_get(outs)      # one batched transfer
+            packed = np.asarray(outs.packed)      # one (K, 27) transfer
             self.step_times.append((time.perf_counter() - t0) / k)
-            self._record_telemetry(outs.telemetry, n_sweeps=k)
-            for i in range(k):
-                self.trajectory.append(outs.fused_pose[i])
-                self.odom_trajectory.append(outs.odom_pose[i])
-                self.mapped_trajectory.append(outs.mapped_pose[i])
             # surround cadence in chunked mode: build once per chunk if
-            # any sweep in it was a publish frame (latest state).
-            if bool(np.any(outs.surround_due)):
-                self._build_surround()
+            # any sweep in it was a publish frame (latest state) —
+            # handled inside _consume_packed.
+            self._consume_packed(packed)
         return self.positions()
 
     def positions(self) -> np.ndarray:

@@ -74,6 +74,27 @@ class EngineOutputs(NamedTuple):
     #    frames, BasicLaserMapping.cpp:242-264; the driver assembles the
     #    actual cloud on demand when this fires)
     telemetry: Telemetry
+    # (27,) f32: every scalar/pose output flattened into ONE device
+    # array, so the per-sweep host readback is a single transfer — a
+    # pytree device_get fetches leaf-by-leaf, and each small leaf pays
+    # its own remote-tunnel round trip on the live path (PERF.md env
+    # facts). Layout: odom(0:6) mapped(6:12) fused(12:18)
+    # [mapping_ran, surround_due](18:20) telemetry counters(20:27) in
+    # Telemetry field order.
+    packed: Array
+
+    @staticmethod
+    def pack(odom_pose, mapped_pose, fused_pose, mapping_ran,
+             surround_due, tel: "Telemetry") -> Array:
+        flags = jnp.stack([mapping_ran.astype(jnp.float32),
+                           surround_due.astype(jnp.float32)])
+        counters = jnp.stack([
+            tel.ingest_dropped, tel.feature_dropped,
+            tel.mapping.cube_corner_dropped, tel.mapping.cube_surf_dropped,
+            tel.mapping.stack_corner_dropped, tel.mapping.stack_surf_dropped,
+            tel.mapping.active_cube_deficit]).astype(jnp.float32)
+        return jnp.concatenate([odom_pose, mapped_pose, fused_pose,
+                                flags, counters])
 
 
 def step(state: EngineState, raw: scan_mod.RawSweep, cfg: LoamConfig,
@@ -158,14 +179,18 @@ def step(state: EngineState, raw: scan_mod.RawSweep, cfg: LoamConfig,
         odometry=ostate, mapping=mstate, fusion=fstate,
         sweep=state.sweep + 1,
         mapping_inputs=state.mapping_inputs + mapping_input.astype(jnp.int32))
+    tel = Telemetry(ingest_dropped=grid.dropped,
+                    feature_dropped=feats.dropped,
+                    mapping=map_tel)
     outs = EngineOutputs(odom_pose=oouts.transform_sum,
                          mapped_pose=fstate.transform_aft,
                          fused_pose=fused,
                          mapping_ran=mapping_due,
                          surround_due=surround_due,
-                         telemetry=Telemetry(ingest_dropped=grid.dropped,
-                                             feature_dropped=feats.dropped,
-                                             mapping=map_tel))
+                         telemetry=tel,
+                         packed=EngineOutputs.pack(
+                             oouts.transform_sum, fstate.transform_aft,
+                             fused, mapping_due, surround_due, tel))
     return new_state, outs
 
 

@@ -68,12 +68,12 @@ class MappingState(NamedTuple):
     # Archive pool (see MappingConfig.archive_capacity): post-thin slab
     # overflow, kept so the map stays lossless where the reference's
     # unbounded push_back clouds would. Rows are appended at
-    # archive_cnt; archive_valid drops rows whose cube left the rolling
-    # window (matching the reference's shift-loop clears); archive_kind
-    # is 0=corner / 1=surf (the two leaf resolutions dedup separately
-    # during compaction).
+    # archive_cnt; archive_valid drops rows whose world cube left the
+    # rolling window (an elementwise in-window test on the row's xyz —
+    # equivalent to the reference's shift-loop clears, and gather-free
+    # on the hot path); archive_kind is 0=corner / 1=surf (the two leaf
+    # resolutions dedup separately during compaction).
     archive_xyz: Array     # (A, 3)
-    archive_sidx: Array    # (A,) storage index of each row's cube
     archive_kind: Array    # (A,) int32 0=corner, 1=surf
     archive_valid: Array   # (A,)
     archive_cnt: Array     # () int32 append cursor
@@ -95,7 +95,6 @@ class MappingState(NamedTuple):
             transform_bef=lm.identity_pose(),
             map_frame=jnp.zeros((), jnp.int32),
             archive_xyz=jnp.zeros((a, 3), jnp.float32),
-            archive_sidx=jnp.zeros((a,), jnp.int32),
             archive_kind=jnp.zeros((a,), jnp.int32),
             archive_valid=jnp.zeros((a,), bool),
             archive_cnt=jnp.zeros((), jnp.int32),
@@ -380,7 +379,7 @@ def archive_append(pool, xyz: Array, mask: Array, kind: int, budget: int,
     would serialize on TPU). Near the pool end the block start clamps
     and the add rows roll so they still land at the cursor; rows that
     don't fit are counted. Returns (pool, lost)."""
-    pool_xyz, pool_sidx, pool_kind, pool_valid, pool_cnt = pool
+    pool_xyz, pool_kind, pool_valid, pool_cnt = pool
     add_xyz, add_mask, over_budget = _compact_xyz(xyz, mask, budget)
 
     a = pool_xyz.shape[0]
@@ -390,7 +389,6 @@ def archive_append(pool, xyz: Array, mask: Array, kind: int, budget: int,
     shift = pool_cnt - start
     j = jnp.arange(budget)
     writem = (j >= shift) & (j < shift + n_fit)
-    sidx_add = storage_index(world_cube_coord(add_xyz, m), m)
 
     def blend(pool_arr, add_arr):
         cur = jax.lax.dynamic_slice_in_dim(pool_arr, start, budget, 0)
@@ -400,11 +398,10 @@ def archive_append(pool, xyz: Array, mask: Array, kind: int, budget: int,
             pool_arr, jnp.where(wm, add_sh, cur), start, 0)
 
     pool_xyz = blend(pool_xyz, add_xyz)
-    pool_sidx = blend(pool_sidx, sidx_add)
     pool_kind = blend(pool_kind, jnp.full((budget,), kind, jnp.int32))
     pool_valid = blend(pool_valid, jnp.ones((budget,), bool))
     lost = over_budget + (n_add - n_fit)
-    return ((pool_xyz, pool_sidx, pool_kind, pool_valid, pool_cnt + n_fit),
+    return ((pool_xyz, pool_kind, pool_valid, pool_cnt + n_fit),
             lost)
 
 
@@ -418,7 +415,7 @@ def compact_archive(pool, m: MappingConfig):
     the true cell count. Two payload-carrying sorts over the pool; run
     on pool pressure (LoamDriver) or between replay chunks, not per
     frame."""
-    xyz, sidx, kind, valid, cnt = pool
+    xyz, kind, valid, cnt = pool
     a = xyz.shape[0]
     valid = valid & (jnp.arange(a) < cnt)
     leaf = jnp.where(kind == 0, m.corner_leaf, m.surf_leaf)
@@ -430,18 +427,18 @@ def compact_archive(pool, m: MappingConfig):
     key1 = ((~valid).astype(jnp.int32) * (1 << 30) + kind * (1 << 29)
             + (cx + 4096) * (1 << 14) + (cy + 4096))
     key2 = cz + 4096
-    k1, k2, x_s, y_s, z_s, sx, kd, vl = jax.lax.sort(
-        (key1, key2, xyz[:, 0], xyz[:, 1], xyz[:, 2], sidx, kind,
+    k1, k2, x_s, y_s, z_s, kd, vl = jax.lax.sort(
+        (key1, key2, xyz[:, 0], xyz[:, 1], xyz[:, 2], kind,
          valid.astype(jnp.int32)), num_keys=2, is_stable=True)
     first = jnp.concatenate([jnp.ones((1,), bool),
                              (k1[1:] != k1[:-1]) | (k2[1:] != k2[:-1])])
     keep = vl.astype(bool) & first
     dk = (~keep).astype(jnp.int32)
-    _, x_s, y_s, z_s, sx, kd = jax.lax.sort(
-        (dk, x_s, y_s, z_s, sx, kd), num_keys=1, is_stable=True)
+    _, x_s, y_s, z_s, kd = jax.lax.sort(
+        (dk, x_s, y_s, z_s, kd), num_keys=1, is_stable=True)
     n = jnp.sum(keep.astype(jnp.int32))
     mask = jnp.arange(a) < n
-    return (jnp.stack([x_s, y_s, z_s], axis=1), sx, kd, mask, n)
+    return (jnp.stack([x_s, y_s, z_s], axis=1), kd, mask, n)
 
 
 def downsample_local_slabs(local_xyz: Array, local_cnt: Array, do: Array,
@@ -780,14 +777,18 @@ def step(state: MappingState, odom_pose: Array, corner_cloud: PointSet,
 
     # Recenter the rolling window around the prior pose. Archived rows
     # of cubes leaving the window clear with it (the reference's shift
-    # loops drop those clouds, BasicLaserMapping.cpp:311-441).
+    # loops drop those clouds, BasicLaserMapping.cpp:311-441): a row is
+    # valid iff its world cube still lies in the new window — an
+    # elementwise test on the row's own coordinates (a `clear[sidx]`
+    # gather over the 256k-row pool cost ~the whole archive budget).
     sensor_w = world_cube_coord(tobe[lm.POS], m)
     new_origin, clear = recenter(state.origin, sensor_w, m)
     corner_cnt = jnp.where(clear, 0, state.corner_cnt)
     surf_cnt = jnp.where(clear, 0, state.surf_cnt)
     arch_xyz = state.archive_xyz
-    arch_sidx = state.archive_sidx
-    arch_valid = state.archive_valid & ~clear[state.archive_sidx]
+    arch_c = world_cube_coord(arch_xyz, m) - new_origin[None, :]
+    arch_valid = state.archive_valid & jnp.all(
+        (arch_c >= 0) & (arch_c < _dims(m)[None, :]), axis=-1)
     arch_cnt = state.archive_cnt
 
     # Gather the (2r+1)^3 neighborhood slabs ONCE; assembly, insert and
@@ -852,15 +853,7 @@ def step(state: MappingState, odom_pose: Array, corner_cloud: PointSet,
         pad_slab(local_s), local_sc, surf_map_pts, surf_stack.mask,
         base_w, new_origin, m)
 
-    # Insert-time overflow (a saturated cube receiving a dense burst
-    # past even the headroom) spills straight into the archive.
-    pool = (arch_xyz, arch_sidx, state.archive_kind, arch_valid, arch_cnt)
-    pool, ins_c_lost = archive_append(pool, ovf_c[0], ovf_c[1], 0,
-                                      m.archive_append_budget, m)
-    pool, ins_s_lost = archive_append(pool, ovf_s[0], ovf_s[1], 1,
-                                      m.archive_append_budget, m)
-    cube_c_drop = ins_c_lost
-    cube_s_drop = ins_s_lost
+    pool = (arch_xyz, state.archive_kind, arch_valid, arch_cnt)
 
     # Re-thin in place. The reference thins every FOV-valid cube
     # (BasicLaserMapping.cpp:580-593); voxel thinning is idempotent, so
@@ -882,30 +875,39 @@ def step(state: MappingState, odom_pose: Array, corner_cloud: PointSet,
 
     # Clip back to storage capacity (slabs are front-packed, so the
     # first cap rows are the kept points). Post-thin tails of the top
-    # over-capacity cubes spill into the archive pool — saturated
-    # geometry (a corridor cube wants ~8k surf points at the 0.4 leaf)
-    # can never fit a bounded search slab, and the reference keeps
-    # every such point (push_back, BasicLaserMapping.cpp:536-577).
-    # Only tails beyond the per-frame archive budgets or the pool
-    # capacity count as losses.
-    def clip_and_spill(xyz, cnt, cap, kind, pool):
+    # over-capacity cubes AND insert-time overflow (a saturated cube
+    # receiving a dense burst past even the headroom) spill into the
+    # archive pool in ONE append per kind — saturated geometry (a
+    # corridor cube wants ~8k surf points at the 0.4 leaf) can never
+    # fit a bounded search slab, and the reference keeps every such
+    # point (push_back, BasicLaserMapping.cpp:536-577). Only tails
+    # beyond the per-frame archive budgets or the pool capacity count
+    # as losses.
+    def clip_tails(xyz, cnt, cap):
         hrw = xyz.shape[1] - cap
         pos, act = _select_active(cnt > cap, m.archive_cubes_per_frame,
                                   weight=cnt)
         tail = xyz[pos][:, cap:, :]                    # (K, hr, 3)
         tcnt = jnp.where(act, jnp.clip(cnt[pos] - cap, 0, hrw), 0)
         tmask = jnp.arange(hrw)[None, :] < tcnt[:, None]
-        pool, append_lost = archive_append(
-            pool, tail.reshape(-1, 3), tmask.reshape(-1), kind,
-            m.archive_append_budget, m)
-        lost = (jnp.sum(jnp.maximum(cnt - cap, 0)) - jnp.sum(tcnt)
-                + append_lost)
-        return xyz[:, :cap], jnp.minimum(cnt, cap), lost, pool
+        missed = jnp.sum(jnp.maximum(cnt - cap, 0)) - jnp.sum(tcnt)
+        return (xyz[:, :cap], jnp.minimum(cnt, cap),
+                tail.reshape(-1, 3), tmask.reshape(-1), missed)
 
-    local_c, local_cc, over_c, pool = clip_and_spill(
-        local_c, local_cc, m.corner_cube_capacity, 0, pool)
-    local_s, local_sc, over_s, pool = clip_and_spill(
-        local_s, local_sc, m.surf_cube_capacity, 1, pool)
+    local_c, local_cc, tail_c, tmask_c, miss_c = clip_tails(
+        local_c, local_cc, m.corner_cube_capacity)
+    local_s, local_sc, tail_s, tmask_s, miss_s = clip_tails(
+        local_s, local_sc, m.surf_cube_capacity)
+    pool, lost_c = archive_append(
+        pool, jnp.concatenate([ovf_c[0], tail_c], axis=0),
+        jnp.concatenate([ovf_c[1], tmask_c], axis=0), 0,
+        m.archive_append_budget, m)
+    pool, lost_s = archive_append(
+        pool, jnp.concatenate([ovf_s[0], tail_s], axis=0),
+        jnp.concatenate([ovf_s[1], tmask_s], axis=0), 1,
+        m.archive_append_budget, m)
+    cube_c_drop = miss_c + lost_c
+    cube_s_drop = miss_s + lost_s
 
     # Periodic dedup compaction: evict/re-observe churn appends the
     # same voxel cell repeatedly; merging duplicates bounds the pool at
@@ -913,9 +915,7 @@ def step(state: MappingState, odom_pose: Array, corner_cloud: PointSet,
     # only advances while some cube is saturated.
     if archive_compact:
         pool = compact_archive(pool, m)
-    arch_xyz, arch_sidx, arch_kind, arch_valid, arch_cnt = pool
-    cube_c_drop = cube_c_drop + over_c
-    cube_s_drop = cube_s_drop + over_s
+    arch_xyz, arch_kind, arch_valid, arch_cnt = pool
 
     # Whole-slab write-back; aliased out-of-window entries are dropped.
     nc = m.n_cubes
@@ -949,9 +949,8 @@ def step(state: MappingState, odom_pose: Array, corner_cloud: PointSet,
         origin=new_origin, transform_tobe=tobe,
         transform_aft=tobe, transform_bef=odom_pose,
         map_frame=state.map_frame + 1,
-        archive_xyz=arch_xyz, archive_sidx=arch_sidx,
-        archive_kind=arch_kind, archive_valid=arch_valid,
-        archive_cnt=arch_cnt)
+        archive_xyz=arch_xyz, archive_kind=arch_kind,
+        archive_valid=arch_valid, archive_cnt=arch_cnt)
 
     # Surround-map cadence: the reference's _mapFrameCount starts at
     # _mapFrameNum-1, so the 1st, (N+1)th, ... mapping frames publish

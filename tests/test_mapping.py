@@ -206,10 +206,9 @@ def test_archive_compaction_dedups_and_clears(rng):
     valid[:4] = True
     valid[3] = False
     kind = np.ones(a, np.int32)
-    sidx = np.arange(a, dtype=np.int32) % m.n_cubes
-    pool = (jnp.asarray(xyz), jnp.asarray(sidx), jnp.asarray(kind),
+    pool = (jnp.asarray(xyz), jnp.asarray(kind),
             jnp.asarray(valid), jnp.asarray(4, jnp.int32))
-    out_xyz, out_sidx, out_kind, out_valid, out_cnt = \
+    out_xyz, out_kind, out_valid, out_cnt = \
         mapping.compact_archive(pool, m)
     assert int(np.asarray(out_cnt)) == 2          # dup merged, invalid shed
     kept = np.asarray(out_xyz)[np.asarray(out_valid)]
