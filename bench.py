@@ -142,6 +142,10 @@ def bench_live_latency(cfg, sweeps, n=12, cap=CAP):
 
     drv = LoamDriver(cfg, sweep_capacity=cap, system_delay=0)
     drv.process_sweep(sweeps[0])                        # warmup/compile
+    drv._build_surround()       # warm the surround-map program too —
+    # run_live honors the surround cadence, and its first invocation
+    # mid-loop would otherwise charge a program load to one sweep's
+    # latency (seen as a ~1 s max outlier).
     lat = sorted(1e3 * t for t in drv.run_live(sweeps[1:n]))
     return lat[len(lat) // 2], lat[-1]
 

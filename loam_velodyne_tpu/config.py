@@ -168,18 +168,23 @@ class MappingConfig:
     min_corner_map_points: int = 10
     min_surface_map_points: int = 100
     min_selected: int = 50
-    # Fixed per-cube point capacities (TPU slab layout). Sized so the
-    # post-thin equilibrium occupancy (leaf-spaced points over the part
-    # of a 50 m cube the sensor has actually observed) fits with margin:
-    # round-2 telemetry showed the surf slabs overflowing at 768 on the
-    # flagship corridor (~12k points lost over 40 sweeps, BENCH_r02).
-    corner_cube_capacity: int = 640
-    surf_cube_capacity: int = 1536
+    # Fixed per-cube SEARCH-slab capacities (TPU slab layout). The slab
+    # is the bounded per-frame 5-NN search tier, not the whole map:
+    # post-thin rows past capacity spill EVENLY (clip_tails' even
+    # reorder — the slab degrades like a coarser leaf, never a
+    # spatially-biased truncation) into the lossless archive pool.
+    # Sizing is therefore a throughput/accuracy dial, not a loss dial:
+    # 768/1536 surf measured 189/135 batched sweeps/s at 2.62/2.70 cm
+    # ATE on the noisy-turning flagship bench (slab width drives the
+    # assembled-search-cloud sort, the slab gather/write-back and the
+    # vmapped re-thin sorts).
+    corner_cube_capacity: int = 512
+    surf_cube_capacity: int = 768
     # Insert headroom: inserts land in working slabs padded by this many
     # rows, the re-thin runs on the padded slabs, and only the post-thin
-    # result is clipped to capacity — so transient over-capacity bursts
-    # are evicted by thinning, not truncation.
-    insert_headroom: int = 512
+    # result is clipped back — so transient over-capacity bursts are
+    # evicted by thinning, not truncation.
+    insert_headroom: int = 256
     # Per-frame budget for the whole-window far-point path (points
     # beyond the +-neighborhood cubes, i.e. ranges > 125 m; the
     # reference keeps them via push_back, BasicLaserMapping.cpp:536-577).

@@ -229,13 +229,16 @@ class LoamDriver:
         return self.positions()
 
     def run_live(self, sweeps: Iterable[np.ndarray]) -> List[float]:
-        """Latency-oriented live loop with host double-buffering: pad +
-        transfer sweep N+1 while sweep N's step executes on device, so
-        the per-sweep critical path is (dispatch + compute + pose
-        readback) only — the host prep and host->device copy of the
-        next sweep ride under the current step (PERF.md lever 3).
-        Returns per-sweep wall latencies in seconds; trajectories and
-        telemetry are recorded as in process_sweep."""
+        """Latency-oriented live loop, pipelined one sweep deep: while
+        sweep N executes on device, the host stages sweep N+1 (pad +
+        host->device copy) and drains sweep N-1's packed readback — so
+        neither the input transfer nor the output RTT sits on the
+        per-sweep critical path (PERF.md lever 3). The pose for sweep N
+        lands on the host one loop iteration later (the same >=1-frame
+        latency the reference's asynchronous nodes have); blocking on
+        the previous readback bounds the in-flight depth at 2. Returns
+        per-sweep wall latencies in seconds; trajectories and telemetry
+        are recorded as in process_sweep."""
         it = iter(sweeps)
         try:
             cur = self.pad_sweep(next(it))
@@ -243,26 +246,29 @@ class LoamDriver:
             return []
         lat: List[float] = []
         done = False
+        pending = None        # previous sweep's packed (device array)
         while not done:
             t0 = time.perf_counter()
             self.state, outs = self._step(self.state, cur)
             # enqueue the packed readback FIRST — the remote tunnel is a
             # FIFO, so issuing the next sweep's host->device copy before
-            # the readback would put a full transfer on the readback's
-            # critical path. Only the (27,) packed array crosses per
-            # sweep; everything else stays on device.
+            # the readback would put a full transfer ahead of it. Only
+            # the (27,) packed array crosses per sweep; everything else
+            # stays on device.
             outs.packed.copy_to_host_async()
             # overlap: stage the NEXT sweep while the device runs this one
             try:
                 cur = self.pad_sweep(next(it))
             except StopIteration:
                 done = True
-            packed = np.asarray(outs.packed)           # sync point
+            if pending is not None:
+                self._consume_packed(np.asarray(pending))  # sync point
+            pending = outs.packed
             dt = time.perf_counter() - t0
             lat.append(dt)
             self.step_times.append(dt)
             self.metrics.record("step", dt)
-            self._consume_packed(packed)
+        self._consume_packed(np.asarray(pending))
         return lat
 
     def run_chunked(self, sweeps: List[np.ndarray], chunk: int = 8,

@@ -887,6 +887,32 @@ def step(state: MappingState, odom_pose: Array, corner_cloud: PointSet,
         hrw = xyz.shape[1] - cap
         pos, act = _select_active(cnt > cap, m.archive_cubes_per_frame,
                                   weight=cnt)
+        # Even-reorder the selected over-capacity slabs BEFORE the clip:
+        # post-thin rows are voxel centroids in cell-sort order, so a
+        # prefix clip keeps a spatially-biased chunk (all low-coordinate
+        # cells) and banishes a coherent slice of the cube to the
+        # non-searched archive — measured +4 cm ATE at capacity 768.
+        # Keeping an EVENLY SPACED subset of the cell order degrades the
+        # search tier like a coarser leaf instead (same policy as
+        # voxel_downsample's overflow path); the complement moves behind
+        # row cap and spills to the archive as before.
+        w = xyz.shape[1]
+        rows = jnp.arange(w)
+
+        def reorder(sx, sc):
+            ratio = jnp.float32(cap) / jnp.maximum(sc, 1).astype(jnp.float32)
+            b_here = jnp.floor(rows.astype(jnp.float32) * ratio)
+            b_prev = jnp.floor((rows - 1).astype(jnp.float32) * ratio)
+            keep = (rows < sc) & (b_here != b_prev)
+            key = jnp.where(rows < sc,
+                            jnp.where(keep, 0, 1), 2).astype(jnp.int32)
+            _, x_s, y_s, z_s = jax.lax.sort(
+                (key, sx[:, 0], sx[:, 1], sx[:, 2]), num_keys=1,
+                is_stable=True)
+            return jnp.stack([x_s, y_s, z_s], axis=1)
+
+        sel = jax.vmap(reorder)(xyz[pos], cnt[pos])
+        xyz = xyz.at[pos].set(jnp.where(act[:, None, None], sel, xyz[pos]))
         tail = xyz[pos][:, cap:, :]                    # (K, hr, 3)
         tcnt = jnp.where(act, jnp.clip(cnt[pos] - cap, 0, hrw), 0)
         tmask = jnp.arange(hrw)[None, :] < tcnt[:, None]

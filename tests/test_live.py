@@ -62,3 +62,29 @@ def test_threaded_producer_consumer():
     assert s["dropped"] > 0                 # producer outpaced consumer
     assert drv.seen[-1] is not None
     assert drv.seen == sorted(drv.seen)     # order preserved
+
+
+def test_run_live_matches_process_sweep():
+    """The pipelined live loop (depth-2, packed-only readback) must
+    produce exactly the per-sweep trajectory/telemetry of the
+    synchronous path — pipelining reorders host work, not math."""
+    from loam_velodyne_tpu.config import LoamConfig
+    from loam_velodyne_tpu.io import synthetic
+    from loam_velodyne_tpu.io.driver import LoamDriver
+
+    sweeps, _, _ = synthetic.generate_sequence(5, n_azimuth=240)
+    cfg = LoamConfig.preset("VLP-16")
+
+    a = LoamDriver(cfg, system_delay=0)
+    for pts in sweeps:
+        a.process_sweep(pts)
+
+    b = LoamDriver(cfg, system_delay=0)
+    lat = b.run_live(sweeps)
+
+    assert len(lat) == len(sweeps)
+    assert len(b.trajectory) == len(a.trajectory)
+    np.testing.assert_allclose(np.stack(b.trajectory),
+                               np.stack(a.trajectory), atol=1e-6)
+    assert (b.metrics.counters.get("ingest_dropped", 0)
+            == a.metrics.counters.get("ingest_dropped", 0))
