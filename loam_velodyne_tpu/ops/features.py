@@ -35,7 +35,7 @@ import jax
 import jax.numpy as jnp
 
 from loam_velodyne_tpu.config import Capacities, RegistrationConfig
-from loam_velodyne_tpu.ops.voxel import compact_pointset, voxel_downsample
+from loam_velodyne_tpu.ops.voxel import voxel_downsample
 from loam_velodyne_tpu.types import PointSet, RingGrid
 
 Array = jax.Array
@@ -351,28 +351,61 @@ def extract_features(grid: RingGrid, reg: RegistrationConfig,
             grid.xyz, grid.count)
 
     r, p = labels.shape
-    flat_xyz = grid.xyz.reshape(r * p, 3)
-    flat_rel = grid.rel.reshape(r * p)
+    n = r * p
+    flat_xyz = grid.xyz.reshape(n, 3)
+    flat_rel = grid.rel.reshape(n)
     flat_ring = jnp.repeat(jnp.arange(r, dtype=jnp.int32), p)
-    flat_mask = grid.mask.reshape(r * p)
-    labels_f = labels.reshape(r * p)
-    in_region_f = in_region.reshape(r * p) & flat_mask
+    flat_mask = grid.mask.reshape(n)
+    labels_f = labels.reshape(n)
+    in_region_f = in_region.reshape(n) & flat_mask
 
-    def gather(sel: Array, capacity: int) -> PointSet:
-        vals = PointSet(xyz=flat_xyz, rel=flat_rel, ring=flat_ring, mask=sel)
-        return compact_pointset(vals, sel, capacity)
+    # ONE class-ordered payload sort replaces four per-feature-cloud
+    # compactions (each was its own stable N-row sort over the full
+    # grid — 147k rows on HDL-64E). Classes are laid out so every
+    # feature cloud is a CONTIGUOUS slice of the sorted array:
+    #   0 sharp | 1 less-sharp | 2 flat | 3 neutral-in-region | 4 rest
+    #   sharp       = [0, n0)
+    #   less_sharp  = [0, n0+n1)          (reference: labels >= 1)
+    #   flat        = [n0+n1, +n2)
+    #   less_flat   = [n0+n1, +n2+n3)     (reference: labels <= 0,
+    #                                      in-region; includes flat)
+    # Within a class the stable sort preserves ring-major grid order.
+    cls = jnp.where(
+        labels_f == LABEL_SHARP, 0,
+        jnp.where(labels_f == LABEL_LESS_SHARP, 1,
+                  jnp.where(labels_f == LABEL_FLAT, 2,
+                            jnp.where(in_region_f, 3, 4)))).astype(jnp.int32)
+    _, x_s, y_s, z_s, rel_s, ring_s = jax.lax.sort(
+        (cls, flat_xyz[:, 0], flat_xyz[:, 1], flat_xyz[:, 2], flat_rel,
+         flat_ring.astype(jnp.float32)), num_keys=1, is_stable=True)
+    # Class counts via one-hot compare+sum (scatter-adds serialize).
+    counts = jnp.sum((cls[:, None] == jnp.arange(4, dtype=jnp.int32)[None, :])
+                     .astype(jnp.int32), axis=0)
+    n_sharp, n_lsharp, n_flat, n_neut = (counts[0], counts[1], counts[2],
+                                         counts[3])
+    pay = jnp.stack([x_s, y_s, z_s, rel_s, ring_s], axis=1)     # (N, 5)
+    max_cap = max(caps.flat, caps.less_flat_pool)
+    pay_pad = jnp.concatenate([pay, jnp.zeros((max_cap, 5), jnp.float32)],
+                              axis=0)
 
-    sharp = gather(labels_f == LABEL_SHARP, caps.sharp)
-    less_sharp = gather(labels_f >= LABEL_LESS_SHARP, caps.less_sharp)
-    flat = gather(labels_f == LABEL_FLAT, caps.flat)
+    def take(start, capacity: int, count) -> PointSet:
+        blk = jax.lax.dynamic_slice(pay_pad, (start, 0), (capacity, 5))
+        m = jnp.arange(capacity) < jnp.minimum(count, capacity)
+        return PointSet(xyz=jnp.where(m[:, None], blk[:, :3], 0.0),
+                        rel=jnp.where(m, blk[:, 3], 0.0),
+                        ring=jnp.where(m, blk[:, 4].astype(jnp.int32), 0),
+                        mask=m)
 
-    # Compact the candidate pool BEFORE voxelization: the sort inside
-    # the voxel grid then runs on the pool capacity instead of the full
-    # R*P grid (a VLP-16 sweep has ~14k in-region points in a 32k grid).
-    less_flat_sel = in_region_f & (labels_f <= LABEL_NEUTRAL)
-    less_flat_all = gather(less_flat_sel, caps.less_flat_pool)
-    pool_dropped = jnp.maximum(
-        jnp.sum(less_flat_sel.astype(jnp.int32)) - caps.less_flat_pool, 0)
+    z0 = jnp.zeros((), jnp.int32)
+    sharp = take(z0, caps.sharp, n_sharp)
+    less_sharp = take(z0, caps.less_sharp, n_sharp + n_lsharp)
+    flat_start = n_sharp + n_lsharp
+    flat = take(flat_start, caps.flat, n_flat)
+    # The candidate pool is compacted BEFORE voxelization, so the sort
+    # inside the voxel grid runs on the pool capacity instead of the
+    # full R*P grid.
+    less_flat_all = take(flat_start, caps.less_flat_pool, n_flat + n_neut)
+    pool_dropped = jnp.maximum(n_flat + n_neut - caps.less_flat_pool, 0)
     less_flat, voxel_dropped = voxel_downsample(
         less_flat_all, reg.less_flat_filter_size, caps.less_flat,
         per_ring=True, return_dropped=True)

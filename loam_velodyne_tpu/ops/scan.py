@@ -164,10 +164,14 @@ def ingest_sweep(raw: RawSweep, lidar: LidarConfig,
     # lowers to a reduce-window that scales pathologically under vmap:
     # it was the single largest kernel of the batched-replay program).
     ring_key = jnp.where(valid, ring, r_rings)
-    ring_s, x_s, y_s, z_s, rel_s, valid_s = jax.lax.sort(
-        (ring_key, swapped[:, 0], swapped[:, 1], swapped[:, 2], rel,
-         valid.astype(jnp.int32)), num_keys=1, is_stable=True)
-    valid_s = valid_s.astype(bool)
+    ring_s, x_s, y_s, z_s, rel_s = jax.lax.sort(
+        (ring_key, swapped[:, 0], swapped[:, 1], swapped[:, 2], rel),
+        num_keys=1, is_stable=True)
+    # Validity needs no payload column: invalid points carry key
+    # r_rings, so post-sort validity is just ring_s < r_rings (one
+    # fewer operand through the N-row sort — 17% of its payload width
+    # on a 64-ring sweep).
+    valid_s = ring_s < r_rings
     # Histogram as a dense one-hot reduce: a scatter-add into ~17 bins
     # serializes row-by-row on TPU (profiled ~9 ms per batched dispatch
     # for this line alone); the (N, R+1) compare+sum is trivial VPU work.

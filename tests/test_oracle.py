@@ -79,15 +79,13 @@ def test_oracle_voxel_grid_centroids():
 
 def _turning_traj(speed=1.0):
     """Forward motion with a sustained yaw turn — more adversarial than
-    the straight bench corridor."""
-
-    def traj(t):
-        yaw = 0.15 * np.sin(2 * np.pi * 0.2 * t) + 0.05 * t
-        pos = np.array([speed * t, 0.8 * np.sin(2 * np.pi * 0.15 * t),
-                        0.0])
-        return pos, yaw
-
-    return traj
+    the straight bench corridor. Uses the canonical simulator turning
+    trajectory (sensor at z=1.6 m). An earlier local copy held the
+    sensor at z=0.0 — ON the floor plane — whose grazing returns are
+    unphysical and sent the NumPy oracle into a spurious pitch ramp
+    (−4 m of vertical drift by sweep 30) that the engine absorbed;
+    parity must be measured on data the reference could actually see."""
+    return synthetic.turning_trajectory(speed=speed)
 
 
 @pytest.mark.slow
@@ -120,10 +118,27 @@ def test_engine_matches_oracle_noisy_turns():
 
 @pytest.mark.slow
 def test_engine_matches_oracle_noisy_turns_30_sweeps():
-    """Length-robustness of the parity gate (VERDICT round 2, task 2):
-    the round-2 gate passed with a 10% margin at 10 sweeps, with
-    cross-drift growing in sequence length. 30 sweeps of noisy turning
-    must stay within the same 5 cm budget with real margin."""
+    """Length-robustness of the parity gate (VERDICT round 2, task 2).
+
+    Cross-ATE between two drifting odometry pipelines GROWS with
+    sequence length no matter how faithful the rebuild is — the
+    tools/oracle_ab.py 30-sweep A/B shows the cross error (4.0 cm) is
+    dominated by the ORACLE's own drift vs ground truth (4.2 cm; the
+    engine sits at 1.8 cm), and the deliberate divergences cost almost
+    nothing (corresp_refresh_every=2 vs 1: 0.06 cm; active-cube budget
+    64 vs 125: 0.000 cm). So the length-robust contract is three-fold:
+    (1) cross-ATE stays inside the absolute 5 cm budget at 30 sweeps
+    (measured 3.97 cm, vs 3.60 cm at 10 sweeps — near-flat in length),
+    (2) per-sweep RELATIVE agreement (RPE, length-stable) stays inside
+    the same budget — it cannot be millimetric by construction, because
+    the engine applies each mapping correction zero-latency while the
+    oracle (like the reference wrapper) applies it one frame later, so
+    at mapping frames the 1-frame deltas differ by the correction size
+    (measured 3.1 cm) — and (3) the engine is at least as close to
+    ground truth as the reference transliteration itself — the rebuild
+    may not be the larger error source."""
+    from loam_velodyne_tpu.eval.metrics import rpe_rmse
+
     n = 30
     sweeps, gt, _ = synthetic.generate_sequence(
         n, n_azimuth=900, speed=1.0, noise_std=0.005,
@@ -136,11 +151,15 @@ def test_engine_matches_oracle_noisy_turns_30_sweeps():
     est = drv.run(sweeps)
 
     ate_cross = ate_rmse(est, oracle_fused, align=True)
+    rpe_cross = rpe_rmse(est, oracle_fused)
     ate_repo = ate_rmse(est, gt, align=True)
     ate_oracle = ate_rmse(oracle_fused, gt, align=True)
-    print(f"30-sweep repo-vs-oracle ATE {ate_cross:.4f} m | repo-vs-gt "
-          f"{ate_repo:.4f} m | oracle-vs-gt {ate_oracle:.4f} m")
+    print(f"30-sweep repo-vs-oracle ATE {ate_cross:.4f} m RPE "
+          f"{rpe_cross:.4f} m | repo-vs-gt {ate_repo:.4f} m | "
+          f"oracle-vs-gt {ate_oracle:.4f} m")
     assert ate_cross < 0.05, ate_cross
+    assert rpe_cross < 0.05, rpe_cross
+    assert ate_repo < ate_oracle * 1.2, (ate_repo, ate_oracle)
     assert ate_repo < 0.15 and ate_oracle < 0.15
 
 
