@@ -18,7 +18,7 @@ from loam_velodyne_tpu.utils import math as lm
 
 import jax.numpy as jnp
 
-from reference_oracle import (OracleImu, OraclePipeline,
+from reference_oracle import (OracleImu, OracleParams, OraclePipeline,
                               accumulate_rotation, plugin_imu_rotation,
                               transform_associate_to_map, voxel_grid)
 
@@ -160,6 +160,42 @@ def test_engine_matches_oracle_noisy_turns_30_sweeps():
     assert ate_cross < 0.05, ate_cross
     assert rpe_cross < 0.05, rpe_cross
     assert ate_repo < ate_oracle * 1.2, (ate_repo, ate_oracle)
+    assert ate_repo < 0.15 and ate_oracle < 0.15
+
+
+@pytest.mark.slow
+def test_engine_matches_oracle_hdl32_geometry():
+    """Parity on a second ring geometry (VERDICT round 2, task 2): the
+    HDL-32's asymmetric vertical field (-30.67..+10.67 deg, 32 rings,
+    MultiScanRegistration.h:85) exercises ring binning, region bounds
+    and the doubled feature budget on a layout the VLP-16 gates never
+    see. Oracle params are overridden to the same preset."""
+    from loam_velodyne_tpu.config import HDL32
+
+    class Hdl32Params(OracleParams):
+        n_rings = HDL32.n_rings
+        lower_bound = HDL32.lower_bound_deg
+        upper_bound = HDL32.upper_bound_deg
+
+    n = 10
+    sweeps, gt, _ = synthetic.generate_sequence(
+        n, lidar=HDL32, n_azimuth=900, speed=1.0, noise_std=0.005,
+        traj=_turning_traj())
+
+    oracle = OraclePipeline(params=Hdl32Params())
+    oracle_fused = oracle.run(sweeps)[:, 3:]
+
+    cfg = LoamConfig.preset("HDL-32")
+    drv = LoamDriver(cfg, sweep_capacity=cfg.capacities.full_cloud,
+                     system_delay=0)
+    est = drv.run(sweeps)
+
+    ate_cross = ate_rmse(est, oracle_fused, align=True)
+    ate_repo = ate_rmse(est, gt, align=True)
+    ate_oracle = ate_rmse(oracle_fused, gt, align=True)
+    print(f"HDL-32 repo-vs-oracle ATE {ate_cross:.4f} m | repo-vs-gt "
+          f"{ate_repo:.4f} m | oracle-vs-gt {ate_oracle:.4f} m")
+    assert ate_cross < 0.05, ate_cross
     assert ate_repo < 0.15 and ate_oracle < 0.15
 
 
