@@ -133,6 +133,41 @@ def bench_batched(cfg, sweeps, batch, chunk, cap=CAP):
     return batch * (n_sweeps - chunk) / thr_dt
 
 
+def bench_batched_distinct(cfg, n_sweeps, batch, chunk, cap=CAP):
+    """Batched replay over B DISTINCT trajectories: per-lane turning
+    rates/phases and noise seeds differ, so per-lane cube-map occupancy
+    diverges — the realistic fleet-replay case. Identical lanes (the
+    headline repeat) keep all B map states congruent and under-measure
+    HBM pressure (VERDICT r3, weak #5). Same jitted program as
+    bench_batched (same shapes), so no extra compile."""
+    lane_sweeps = []
+    for b in range(batch):
+        traj = synthetic.turning_trajectory(
+            speed=1.0,
+            yaw_rate=0.05 * (1.0 + 0.4 * b / batch) * (1 if b % 2 else -1),
+            sway_freq=0.15 + 0.02 * b)
+        sweeps_b, _, _ = synthetic.generate_sequence(
+            n_sweeps, n_azimuth=900, speed=1.0, noise_std=0.005, traj=traj)
+        lane_sweeps.append(sweeps_b)
+
+    bstep = make_batched_chunk(cfg)
+    states = stack_states([engine_mod.EngineState.create(cfg)
+                           for _ in range(batch)])
+    bchunks = []
+    for s in range(0, n_sweeps, chunk):
+        per_lane = [pad_chunk(sw[s:s + chunk], cap) for sw in lane_sweeps]
+        bchunks.append(RawSweep(
+            xyz=jnp.asarray(np.stack([x for x, _ in per_lane])),
+            mask=jnp.asarray(np.stack([m for _, m in per_lane]))))
+    states, outs = bstep(states, bchunks[0])             # warmup
+    np.asarray(outs.fused_pose)
+    t0 = time.perf_counter()
+    for ch in bchunks[1:]:
+        states, outs = bstep(states, ch)
+    np.asarray(outs.fused_pose)
+    return batch * (n_sweeps - chunk) / (time.perf_counter() - t0)
+
+
 def bench_live_latency(cfg, sweeps, n=12, cap=CAP):
     """Per-sweep live-mode latency through the driver's double-buffered
     loop (LoamDriver.run_live: sweep N+1's host pad + transfer overlap
@@ -183,6 +218,7 @@ def main():
 
     stream_rate, ate, tel = bench_single_stream(cfg, sweeps, gt, chunk)
     throughput = bench_batched(cfg, sweeps, batch, chunk)
+    distinct = bench_batched_distinct(cfg, n_sweeps, batch, chunk)
     live_p50, live_p99 = bench_live_latency(cfg, sweeps)
 
     print(json.dumps({
@@ -194,6 +230,7 @@ def main():
             "single_stream_sweeps_per_sec": round(stream_rate, 2),
             "single_stream_ms_per_sweep": round(1e3 / max(stream_rate, 1e-9), 1),
             "batched_sweeps_per_sec": round(throughput, 2),
+            "batched_distinct_sweeps_per_sec": round(distinct, 2),
             "batch": batch,
             "chunk": chunk,
             "ate_aligned_m": round(ate, 4),

@@ -166,6 +166,146 @@ def cmd_run(args):
     print(json.dumps(report))
 
 
+REFERENCE_TEST_DATA_URL = ("https://dl.dropboxusercontent.com/s/"
+                           "y4hn486461tfmpm/velodyne_loam_test_data.tar.gz")
+REFERENCE_TEST_DATA_MD5 = "3d5194e6981975588b7a93caebf79ba4"
+
+
+def _fetch_reference_bag(cache_dir: str) -> str | None:
+    """Try to fetch the reference's MD5-pinned test capture (the bag its
+    golden test replays, reference CMakeLists.txt:55-57). Returns a bag
+    path, or None when the environment has no egress / the download
+    fails — callers fall back to locally mounted data."""
+    import glob
+    import hashlib
+    import tarfile
+    import urllib.request
+
+    os.makedirs(cache_dir, exist_ok=True)
+    bags = glob.glob(os.path.join(cache_dir, "**", "*.bag"), recursive=True)
+    if bags:
+        return sorted(bags)[0]
+    tarball = os.path.join(cache_dir, "velodyne_loam_test_data.tar.gz")
+    try:
+        if not os.path.exists(tarball):
+            with urllib.request.urlopen(REFERENCE_TEST_DATA_URL,
+                                        timeout=30) as r, \
+                    open(tarball + ".part", "wb") as f:
+                while chunk := r.read(1 << 20):
+                    f.write(chunk)
+            os.replace(tarball + ".part", tarball)
+        md5 = hashlib.md5()
+        with open(tarball, "rb") as f:
+            while chunk := f.read(1 << 20):
+                md5.update(chunk)
+        if md5.hexdigest() != REFERENCE_TEST_DATA_MD5:
+            print(f"test-data md5 mismatch ({md5.hexdigest()}), ignoring",
+                  file=sys.stderr)
+            return None
+        with tarfile.open(tarball) as t:
+            t.extractall(cache_dir, filter="data")
+        bags = glob.glob(os.path.join(cache_dir, "**", "*.bag"),
+                         recursive=True)
+        return sorted(bags)[0] if bags else None
+    except Exception as e:                       # no egress, DNS, 404, ...
+        print(f"reference test-data download unavailable: {e}",
+              file=sys.stderr)
+        return None
+
+
+def cmd_validate(args):
+    """One-command real-data validation — the TPU-native twin of the
+    reference's golden-bag rostest (tests/bag_test:42-47, data pinned in
+    CMakeLists.txt:52-70): resolve a real capture, replay it through the
+    full pipeline, and gate the trajectory against a recorded golden
+    trace. Without a golden (first run) it records one; with --record it
+    re-records deliberately.
+
+    Capture resolution order: --path, $LOAM_TEST_BAG (rosbag),
+    $LOAM_PCAP (pcap), $LOAM_KITTI_SEQ [+ $LOAM_KITTI_POSES] (KITTI
+    velodyne dir), then the reference's MD5-pinned download (needs
+    network egress)."""
+    import numpy as np
+    _enable_tpu_cache()
+    cfg = _build_config(args)
+
+    source, path = args.source, args.path
+    gt_poses = args.gt_poses or os.environ.get("LOAM_KITTI_POSES")
+    if not path:
+        if os.environ.get("LOAM_TEST_BAG"):
+            source, path = "bag", os.environ["LOAM_TEST_BAG"]
+        elif os.environ.get("LOAM_PCAP"):
+            source, path = "pcap", os.environ["LOAM_PCAP"]
+        elif os.environ.get("LOAM_KITTI_SEQ"):
+            source, path = "kitti", os.environ["LOAM_KITTI_SEQ"]
+        else:
+            path = _fetch_reference_bag(args.cache_dir)
+            source = "bag"
+            if path is None:
+                raise SystemExit(
+                    "no validation capture available: pass --path, or mount "
+                    "one via LOAM_TEST_BAG=<file.bag> / LOAM_PCAP=<cap.pcap>"
+                    " / LOAM_KITTI_SEQ=<velodyne dir> (optionally "
+                    "LOAM_KITTI_POSES=<poses.txt>), or allow network egress "
+                    "for the reference's pinned test data "
+                    f"({REFERENCE_TEST_DATA_URL})")
+    if source == "synthetic":                   # --path given: infer type
+        ext = os.path.splitext(path)[1].lower()
+        source = {"": "kitti", ".bag": "bag", ".pcap": "pcap",
+                  ".pcapng": "pcap"}.get(ext, "bag")
+
+    from loam_velodyne_tpu.io.driver import LoamDriver
+    drv = LoamDriver(cfg, system_delay=args.system_delay)
+    t0 = time.perf_counter()
+    gt = None
+    if source == "bag":
+        drv.run_bag(path, cloud_topic=args.topic, imu_topic=args.imu_topic)
+    else:
+        ns = argparse.Namespace(source=source, path=path, sweeps=args.sweeps,
+                                topic=args.topic, gt_poses=gt_poses,
+                                calibration=None, azimuth=900, speed=1.0)
+        sweeps, gt, _ = _load_sweeps(ns, cfg)
+        for pts in sweeps:
+            drv.process_sweep(pts)
+    wall = time.perf_counter() - t0
+
+    est = drv.positions()
+    report = {"source": source, "path": path, "sweeps": len(est),
+              "wall_s": round(wall, 3),
+              "sweeps_per_sec": round(len(est) / max(wall, 1e-9), 2)}
+    from loam_velodyne_tpu.eval.metrics import ate_rmse
+    if gt is not None and len(est):
+        k = min(len(est), len(gt))
+        report["ate_vs_gt_m"] = round(ate_rmse(est[:k], gt[:k], align=True), 4)
+
+    golden = args.golden or path + ".golden.npz"
+    if os.path.exists(golden) and not args.record:
+        with np.load(golden) as g:
+            ref = g["positions"]
+        if ref.shape[0] != est.shape[0]:
+            report["golden_note"] = (f"golden has {ref.shape[0]} sweeps, "
+                                     f"run produced {est.shape[0]}")
+        k = min(len(ref), len(est))
+        ate = ate_rmse(est[:k], ref[:k], align=False)
+        report["golden"] = golden
+        report["ate_vs_golden_m"] = round(ate, 4)
+        report["ok"] = bool(ate <= args.ate_tol)
+        print(json.dumps(report))
+        if not report["ok"]:
+            raise SystemExit(
+                f"trajectory drifted {ate:.4f} m RMS from the golden trace "
+                f"(tolerance {args.ate_tol}); re-record deliberately with "
+                "--record if this is an intended change")
+    else:
+        np.savez_compressed(golden, positions=est,
+                            trajectory=np.stack(drv.trajectory)
+                            if drv.trajectory else np.zeros((0, 6)))
+        report["golden"] = golden
+        report["recorded"] = True
+        report["ok"] = True
+        print(json.dumps(report))
+
+
 def cmd_bench(args):
     import subprocess
     bench = os.path.join(os.path.dirname(os.path.dirname(
@@ -239,6 +379,33 @@ def main(argv=None):
     runp.add_argument("--checkpoint", help="save engine state here")
     runp.add_argument("--verbose", action="store_true")
     runp.set_defaults(fn=cmd_run)
+
+    valp = sub.add_parser(
+        "validate",
+        help="replay a real capture and gate against a golden trace")
+    valp.add_argument("--source",
+                      choices=["synthetic", "bag", "pcap", "kitti"],
+                      default="synthetic",
+                      help="capture type; inferred from --path/env if left "
+                           "at the default")
+    valp.add_argument("--path", help="capture file/dir (else LOAM_TEST_BAG/"
+                                     "LOAM_PCAP/LOAM_KITTI_SEQ env vars, "
+                                     "else the reference's pinned download)")
+    valp.add_argument("--golden", help="golden trace (default: "
+                                       "<capture>.golden.npz)")
+    valp.add_argument("--record", action="store_true",
+                      help="(re-)record the golden instead of comparing")
+    valp.add_argument("--ate-tol", type=float, default=0.05,
+                      help="max RMS deviation vs the golden trace (m)")
+    valp.add_argument("--cache-dir", default="/root/repo/.validation_data")
+    valp.add_argument("--topic", default="/velodyne_points")
+    valp.add_argument("--imu-topic", default="/imu/data")
+    valp.add_argument("--gt-poses")
+    valp.add_argument("--lidar", default="VLP-16")
+    valp.add_argument("--sweeps", type=int, default=10 ** 6)
+    valp.add_argument("--system-delay", type=int, default=0)
+    valp.add_argument("--set", action="append", metavar="KEY=VALUE")
+    valp.set_defaults(fn=cmd_validate)
 
     benchp = sub.add_parser("bench", help="run the headline benchmark")
     benchp.add_argument("--sweeps", type=int, default=30)

@@ -201,6 +201,17 @@ class MappingConfig:
     archive_capacity: int = 262144
     archive_cubes_per_frame: int = 8     # top over-capacity cubes spilled
     archive_append_budget: int = 2048    # rows archived per frame per kind
+    # Rolling archive -> slab reinstatement: every mapping frame, a
+    # cursor-advancing window of this many archive rows is offered back
+    # to the SEARCH slabs (accepted wherever the row's cube has
+    # headroom, e.g. after insert-burst overflow or post-eviction
+    # rebuilds), so archived geometry re-enters the 5-NN search tier —
+    # the reference's KD-trees search everything it stores
+    # (BasicLaserMapping.cpp:503-509, :665-817). Rows whose cube slab is
+    # full stay archived (not a loss). The window rides the existing
+    # far-point whole-window scatter, so the per-frame cost is one
+    # wider scatter, not a new pass.
+    archive_reinstate_budget: int = 1024
     fov_half_aperture_term: float = 100.0  # FOV check constant (BasicLaserMapping.cpp:477-481)
     # Downsampled feature-stack capacities (inputs to the map GN).
     corner_stack_capacity: int = 2048
@@ -235,6 +246,8 @@ class MappingConfig:
         _require(self.corner_leaf > 0 and self.surf_leaf > 0,
                  "voxel leaf sizes must be positive")
         _require(self.knn_window >= 8, "knn_window must be >= 8")
+        _require(self.archive_capacity >= self.archive_reinstate_budget,
+                 "archive_capacity must cover archive_reinstate_budget")
 
     @property
     def n_cubes(self) -> int:

@@ -74,27 +74,31 @@ class EngineOutputs(NamedTuple):
     #    frames, BasicLaserMapping.cpp:242-264; the driver assembles the
     #    actual cloud on demand when this fires)
     telemetry: Telemetry
-    # (27,) f32: every scalar/pose output flattened into ONE device
+    # (29,) f32: every scalar/pose output flattened into ONE device
     # array, so the per-sweep host readback is a single transfer — a
     # pytree device_get fetches leaf-by-leaf, and each small leaf pays
     # its own remote-tunnel round trip on the live path (PERF.md env
     # facts). Layout: odom(0:6) mapped(6:12) fused(12:18)
-    # [mapping_ran, surround_due](18:20) telemetry counters(20:27) in
-    # Telemetry field order.
+    # [mapping_ran, surround_due](18:20) telemetry counters(20:28) in
+    # Telemetry field order, archive pool cursor(28) — the driver's
+    # compaction trigger reads the cursor from here instead of paying a
+    # blocking device readback on the live path.
     packed: Array
 
     @staticmethod
     def pack(odom_pose, mapped_pose, fused_pose, mapping_ran,
-             surround_due, tel: "Telemetry") -> Array:
+             surround_due, tel: "Telemetry", archive_cnt) -> Array:
         flags = jnp.stack([mapping_ran.astype(jnp.float32),
                            surround_due.astype(jnp.float32)])
         counters = jnp.stack([
             tel.ingest_dropped, tel.feature_dropped,
             tel.mapping.cube_corner_dropped, tel.mapping.cube_surf_dropped,
             tel.mapping.stack_corner_dropped, tel.mapping.stack_surf_dropped,
-            tel.mapping.active_cube_deficit]).astype(jnp.float32)
+            tel.mapping.active_cube_deficit,
+            tel.mapping.archive_reinstated]).astype(jnp.float32)
         return jnp.concatenate([odom_pose, mapped_pose, fused_pose,
-                                flags, counters])
+                                flags, counters,
+                                archive_cnt.astype(jnp.float32)[None]])
 
 
 def step(state: EngineState, raw: scan_mod.RawSweep, cfg: LoamConfig,
@@ -190,7 +194,8 @@ def step(state: EngineState, raw: scan_mod.RawSweep, cfg: LoamConfig,
                          telemetry=tel,
                          packed=EngineOutputs.pack(
                              oouts.transform_sum, fstate.transform_aft,
-                             fused, mapping_due, surround_due, tel))
+                             fused, mapping_due, surround_due, tel,
+                             mstate.archive_cnt))
     return new_state, outs
 
 

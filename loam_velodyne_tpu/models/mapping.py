@@ -114,11 +114,12 @@ class MapTelemetry(NamedTuple):
     cube_corner_dropped: Array    # capacity-only losses: post-thin slab
     cube_surf_dropped: Array      #   clip + far-path budget/slab overflow
     active_cube_deficit: Array    # FOV-valid cubes beyond the active budget
+    archive_reinstated: Array     # archive rows moved back into search slabs
 
     @staticmethod
     def zero() -> "MapTelemetry":
         z = jnp.zeros((), jnp.int32)
-        return MapTelemetry(z, z, z, z, z)
+        return MapTelemetry(z, z, z, z, z, z)
 
 
 class MappingOutputs(NamedTuple):
@@ -233,7 +234,8 @@ def assemble_map_cloud(cube_xyz: Array, cube_cnt: Array, sidx: Array,
 
 def scatter_into_cubes(cube_xyz: Array, cube_cnt: Array, pts: Array,
                        mask: Array, origin: Array, m: MappingConfig,
-                       return_dropped: bool = False):
+                       return_dropped: bool = False,
+                       return_keep: bool = False):
     """Append map-frame points into their cubes anywhere in the live
     window (fixed capacity). Equivalent of the reference's per-point
     push_back scatter (BasicLaserMapping.cpp:536-577), with the same
@@ -241,7 +243,12 @@ def scatter_into_cubes(cube_xyz: Array, cube_cnt: Array, pts: Array,
     too, :545-552 — they don't count as capacity losses).
 
     With return_dropped=True additionally returns the () int32 count of
-    in-window points shed at slab capacity.
+    in-window points shed at slab capacity. With return_keep=True it
+    instead returns two (N,) bool vectors IN INPUT ORDER — (accepted,
+    in_window) — so callers with mixed insert sources (far points +
+    archive reinstatement) can attribute acceptance per row: the input
+    row index rides the rank sort as one extra operand and the accepted
+    flags scatter straight back by it.
     """
     nc, cap, _ = cube_xyz.shape
     n = pts.shape[0]
@@ -254,12 +261,17 @@ def scatter_into_cubes(cube_xyz: Array, cube_cnt: Array, pts: Array,
     # Rank of each point within its cube via ONE stable payload-carrying
     # sort by cube id (no argsort row-gathers, PERF.md §9): rank = row -
     # its segment's first row, with segment starts propagated by cummax.
-    sidx_s, px, py, pz = jax.lax.sort(
-        (sidx, pts[:, 0], pts[:, 1], pts[:, 2]), num_keys=1,
-        is_stable=True)
+    i = jnp.arange(n, dtype=jnp.int32)
+    if return_keep:
+        sidx_s, px, py, pz, oid = jax.lax.sort(
+            (sidx, pts[:, 0], pts[:, 1], pts[:, 2], i), num_keys=1,
+            is_stable=True)
+    else:
+        sidx_s, px, py, pz = jax.lax.sort(
+            (sidx, pts[:, 0], pts[:, 1], pts[:, 2]), num_keys=1,
+            is_stable=True)
     pts_s = jnp.stack([px, py, pz], axis=1)
     ok_s = sidx_s < nc
-    i = jnp.arange(n, dtype=jnp.int32)
     seg_start = jnp.concatenate([jnp.ones((1,), bool),
                                  sidx_s[1:] != sidx_s[:-1]])
     rank = i - jax.lax.cummax(jnp.where(seg_start, i, 0))
@@ -279,6 +291,9 @@ def scatter_into_cubes(cube_xyz: Array, cube_cnt: Array, pts: Array,
     added = jnp.sum(((sidx_s[:, None] == bins[None, :]) & keep[:, None])
                     .astype(jnp.int32), axis=0)
     new_cnt = jnp.minimum(cube_cnt + added[:nc], cap)
+    if return_keep:
+        keep_in = jnp.zeros((n,), bool).at[oid].set(keep)
+        return new_xyz, new_cnt, added[:nc] > 0, keep_in, ok
     if return_dropped:
         dropped = jnp.sum((ok_s & ~keep).astype(jnp.int32))
         return new_xyz, new_cnt, added[:nc] > 0, dropped
@@ -960,14 +975,50 @@ def step(state: MappingState, odom_pose: Array, corner_cloud: PointSet,
     fb = m.far_insert_budget
     far_c_xyz, far_c_mask, far_c_over = _compact_xyz(corner_map_pts, far_c, fb)
     far_s_xyz, far_s_mask, far_s_over = _compact_xyz(surf_map_pts, far_s, fb)
-    corner_xyz, corner_cnt, _, far_c_drop = scatter_into_cubes(
-        corner_xyz, corner_cnt, far_c_xyz, far_c_mask, new_origin, m,
-        return_dropped=True)
-    surf_xyz, surf_cnt, _, far_s_drop = scatter_into_cubes(
-        surf_xyz, surf_cnt, far_s_xyz, far_s_mask, new_origin, m,
-        return_dropped=True)
+
+    # Rolling archive reinstatement: a cursor-advancing window of the
+    # pool rides the SAME global scatters as the far points, so archived
+    # rows flow back into the SEARCH slabs wherever their cube has
+    # headroom (insert-burst overflow whose cube later thinned below
+    # capacity, or geometry behind a slab rebuilt after eviction). The
+    # reference's per-frame KD-trees search everything stored
+    # (BasicLaserMapping.cpp:503-509, :665-817); the archive tier must
+    # not be write-only. Rows whose cube slab is full simply stay
+    # archived (their window comes around again next sweep of the
+    # cursor); accepted rows are invalidated in the pool so the point
+    # lives in exactly one tier.
+    rb = m.archive_reinstate_budget
+    a_cap = arch_xyz.shape[0]
+    r_start = jnp.minimum(
+        jnp.mod(state.map_frame.astype(jnp.int32) * rb,
+                jnp.maximum(arch_cnt, 1)),
+        jnp.int32(a_cap - rb))
+    cand_xyz = jax.lax.dynamic_slice_in_dim(arch_xyz, r_start, rb, 0)
+    cand_kind = jax.lax.dynamic_slice_in_dim(arch_kind, r_start, rb, 0)
+    cand_valid = jax.lax.dynamic_slice_in_dim(arch_valid, r_start, rb, 0)
+    cand_c = cand_valid & (cand_kind == 0)
+    cand_s = cand_valid & (cand_kind == 1)
+
+    corner_xyz, corner_cnt, _, keep_c, ok_c = scatter_into_cubes(
+        corner_xyz, corner_cnt,
+        jnp.concatenate([far_c_xyz, cand_xyz], axis=0),
+        jnp.concatenate([far_c_mask, cand_c], axis=0),
+        new_origin, m, return_keep=True)
+    surf_xyz, surf_cnt, _, keep_s, ok_s = scatter_into_cubes(
+        surf_xyz, surf_cnt,
+        jnp.concatenate([far_s_xyz, cand_xyz], axis=0),
+        jnp.concatenate([far_s_mask, cand_s], axis=0),
+        new_origin, m, return_keep=True)
+    # Capacity losses are counted for the far rows only: a reinstatement
+    # candidate that doesn't fit stays in the archive, losing nothing.
+    far_c_drop = jnp.sum((ok_c[:fb] & ~keep_c[:fb]).astype(jnp.int32))
+    far_s_drop = jnp.sum((ok_s[:fb] & ~keep_s[:fb]).astype(jnp.int32))
     cube_c_drop = cube_c_drop + far_c_over + far_c_drop
     cube_s_drop = cube_s_drop + far_s_over + far_s_drop
+    accepted = keep_c[fb:] | keep_s[fb:]
+    reinstated = jnp.sum(accepted.astype(jnp.int32))
+    arch_valid = jax.lax.dynamic_update_slice_in_dim(
+        arch_valid, cand_valid & ~accepted, r_start, 0)
 
     new_state = MappingState(
         corner_xyz=corner_xyz, corner_cnt=corner_cnt,
@@ -989,7 +1040,8 @@ def step(state: MappingState, odom_pose: Array, corner_cloud: PointSet,
         cube_surf_dropped=cube_s_drop,
         active_cube_deficit=jnp.maximum(
             jnp.sum((valid_fov & populated).astype(jnp.int32))
-            - jnp.sum((act_a & populated[pos_a]).astype(jnp.int32)), 0))
+            - jnp.sum((act_a & populated[pos_a]).astype(jnp.int32)), 0),
+        archive_reinstated=reinstated)
     return new_state, MappingOutputs(transform_aft=tobe,
                                      transform_bef=odom_pose,
                                      surround_due=surround_due,
@@ -1018,7 +1070,13 @@ def full_map(state: MappingState, cfg: LoamConfig) -> Tuple[Array, Array]:
 def surround_map(state: MappingState, cfg: LoamConfig,
                  capacity: int = 65536) -> PointSet:
     """Downsized surround map (reference createDownsizedMap, :242-264):
-    all in-bounds neighborhood cubes, corner+surf, voxel-thinned."""
+    all in-bounds neighborhood cubes, corner+surf, voxel-thinned.
+
+    Archive rows whose cube lies in the neighborhood are included too:
+    the reference publishes everything it stores for those cubes, so the
+    spilled tail of a saturated cube must appear in the surround cloud,
+    not just in full_map. The voxel downsample dedups slab/archive
+    overlap. Runs off the hot path (publish cadence only)."""
     m = cfg.mapping
     sidx, _, in_bounds = fov_valid_cubes(state.origin,
                                          state.transform_tobe, m)
@@ -1026,8 +1084,15 @@ def surround_map(state: MappingState, cfg: LoamConfig,
                                        sidx, in_bounds)
     s_xyz, s_mask = assemble_map_cloud(state.surf_xyz, state.surf_cnt,
                                        sidx, in_bounds)
-    xyz = jnp.concatenate([c_xyz, s_xyz], axis=0)
-    mask = jnp.concatenate([c_mask, s_mask], axis=0)
+    sensor_w = world_cube_coord(state.transform_tobe[lm.POS], m)
+    rel3 = world_cube_coord(state.archive_xyz, m) \
+        - (sensor_w - m.neighborhood)[None, :]
+    side = 2 * m.neighborhood + 1
+    a_mask = (state.archive_valid
+              & (jnp.arange(state.archive_xyz.shape[0]) < state.archive_cnt)
+              & jnp.all((rel3 >= 0) & (rel3 < side), axis=-1))
+    xyz = jnp.concatenate([c_xyz, s_xyz, state.archive_xyz], axis=0)
+    mask = jnp.concatenate([c_mask, s_mask, a_mask], axis=0)
     n = xyz.shape[0]
     ps = PointSet(xyz=xyz, rel=jnp.zeros((n,), jnp.float32),
                   ring=jnp.zeros((n,), jnp.int32), mask=mask)

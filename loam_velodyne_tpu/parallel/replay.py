@@ -148,6 +148,8 @@ def tiny_config() -> LoamConfig:
         corner_cube_capacity=32, surf_cube_capacity=64,
         corner_stack_capacity=64, surf_stack_capacity=128,
         knn_window=64, knn_group=32,
+        archive_capacity=4096, archive_append_budget=256,
+        archive_reinstate_budget=256,
         min_surface_map_points=10, min_selected=10)
     odo = OdometryConfig(max_iterations=3, min_surface_points=10)
     return LoamConfig(lidar=lidar, registration=reg, odometry=odo,

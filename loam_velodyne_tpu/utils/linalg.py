@@ -1,5 +1,12 @@
 """Small fixed-size linear algebra as fully unrolled VPU kernels.
 
+NEGATIVE RESULT — NOT USED BY THE PIPELINE. Measured SLOWER than the
+jnp.linalg lowerings it was meant to replace (59.2 vs 64.3 sweeps/s on
+the round-1 bench: sequential scalar dependency chains do not
+vectorize on the VPU; PERF.md lever 4). Kept, with its tests, as the
+documented record of that measurement so the experiment isn't re-run
+by a future optimization pass.
+
 ``jnp.linalg.solve``/``eigh`` lower to general LU/QDWH algorithms with
 data-dependent iteration — built for large matrices, pathological for
 the 6x6 Gauss-Newton systems here (hundreds of sequential micro-kernels

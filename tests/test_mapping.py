@@ -308,3 +308,119 @@ def test_full_pipeline_mapping_improves_odometry():
     # mapping should not be (much) worse than raw odometry, and should
     # keep absolute error bounded
     assert ate_m < max(ate_o * 1.2, 0.2), (ate_o, ate_m)
+
+
+def test_archive_reinstate_into_rebuilt_slab(rng):
+    """Archived rows of a cube whose search slab has headroom must flow
+    back into the slab (rolling reinstatement window riding the far-point
+    scatter): the reference's per-frame KD-trees search everything stored
+    (BasicLaserMapping.cpp:503-509, :665-817), so the archive tier cannot
+    be write-only. Constructs the post-eviction-rebuild case directly:
+    valid archive rows, empty slab."""
+    state = mapping.MappingState.create(CFG)
+    k = 96
+    pts = rng.uniform(-8, 8, (k, 3)).astype(np.float32)   # cube (0,0,0)
+    arch_xyz = np.asarray(state.archive_xyz).copy()
+    arch_xyz[:k] = pts
+    kind = np.asarray(state.archive_kind).copy()
+    kind[:k] = 1                                           # surf rows
+    valid = np.asarray(state.archive_valid).copy()
+    valid[:k] = True
+    state = state._replace(
+        archive_xyz=jnp.asarray(arch_xyz),
+        archive_kind=jnp.asarray(kind),
+        archive_valid=jnp.asarray(valid),
+        archive_cnt=jnp.asarray(k, jnp.int32))
+
+    # a distant stack so the insert path doesn't touch cube (0,0,0)
+    far_pts = rng.uniform(60, 70, (64, 3)).astype(np.float32)
+    mstate, mouts = mapping.step(state, jnp.zeros(6, jnp.float32),
+                                 _cloud(far_pts[:16], 512),
+                                 _cloud(far_pts, 2048), CFG)
+    reinstated = int(np.asarray(mouts.telemetry.archive_reinstated))
+    assert reinstated == k, reinstated
+    # accepted rows left the pool...
+    assert not np.asarray(mstate.archive_valid)[:k].any()
+    # ...and live in the SEARCH slabs now: the neighborhood assembly
+    # around the origin (what optimize_pose's 5-NN searches) sees them.
+    sidx, _, in_bounds = mapping.fov_valid_cubes(
+        mstate.origin, jnp.zeros(6, jnp.float32), CFG.mapping)
+    xyz, msk = mapping.assemble_map_cloud(mstate.surf_xyz, mstate.surf_cnt,
+                                          sidx, in_bounds)
+    stored = np.asarray(xyz)[np.asarray(msk)]
+    for p in pts[::9]:
+        assert np.linalg.norm(stored - p[None, :], axis=1).min() < 1e-5
+
+
+def test_archive_rows_in_surround_map(rng):
+    """Archive rows of neighborhood cubes appear in the published
+    surround cloud (reference createDownsizedMap publishes everything it
+    stores for those cubes, BasicLaserMapping.cpp:242-264)."""
+    state = mapping.MappingState.create(CFG)
+    k = 32
+    pts = rng.uniform(-8, 8, (k, 3)).astype(np.float32)
+    arch_xyz = np.asarray(state.archive_xyz).copy()
+    arch_xyz[:k] = pts
+    valid = np.asarray(state.archive_valid).copy()
+    valid[:k] = True
+    state = state._replace(
+        archive_xyz=jnp.asarray(arch_xyz),
+        archive_kind=state.archive_kind,           # kind 0 = corner leaf
+        archive_valid=jnp.asarray(valid),
+        archive_cnt=jnp.asarray(k, jnp.int32))
+    ps = mapping.surround_map(state, CFG)
+    got = np.asarray(ps.xyz)[np.asarray(ps.mask)]
+    leaf_diag = CFG.mapping.corner_leaf * np.sqrt(3)
+    for p in pts:
+        assert np.linalg.norm(got - p[None, :], axis=1).min() < leaf_diag
+
+
+def test_insert_burst_overflow_returns_to_search_tier(rng):
+    """End-to-end revisit scenario: re-observing a near-full cube
+    overflows the insert headroom (the overflow rows — including cells
+    the slab has never stored — spill to the archive) while thinning
+    merges the duplicate observations back under capacity. The spilled
+    cells must re-enter the search tier via reinstatement on later
+    frames instead of being exiled forever (round-3 missing #1)."""
+    import dataclasses
+    cfg = dataclasses.replace(
+        CFG, mapping=dataclasses.replace(
+            CFG.mapping, surf_cube_capacity=256, insert_headroom=32,
+            archive_reinstate_budget=2048))
+    state = mapping.MappingState.create(cfg)
+    # frame 1: 240 distinct 0.4-leaf cells — slab near capacity
+    gx, gz = np.meshgrid(np.arange(16), np.arange(15))
+    base = np.stack([gx.ravel() * 0.4 - 5, np.zeros(240),
+                     gz.ravel() * 0.4 - 5], axis=1).astype(np.float32)
+    step = jax.jit(lambda s, c, sf: mapping.step(
+        s, jnp.zeros(6, jnp.float32), c, sf, cfg))
+    state, _ = step(state, _cloud(base[:16], 512), _cloud(base, 2048))
+    slab0 = int(np.asarray(state.surf_cnt).max())
+    assert 200 < slab0 <= 256
+
+    # frame 2 (revisit): the same 240 cells again plus 40 new ones —
+    # 280 insert rows exceed the 32-row headroom, so most rows (and the
+    # new cells among them) overflow to the archive; post-thin the slab
+    # stays under capacity because the duplicates merge.
+    gx2 = np.arange(40)
+    new = np.stack([gx2 * 0.4 - 5, np.full(40, 0.4, np.float32),
+                    gz.ravel()[:40] * 0.0 + 2.6], axis=1).astype(np.float32)
+    revisit = np.concatenate([base, new]).astype(np.float32)
+    rng.shuffle(revisit)
+    state, mouts = step(state, _cloud(revisit[:16], 512),
+                        _cloud(revisit, 2048))
+    assert int(np.asarray(state.archive_cnt)) > 0
+    assert int(np.asarray(mouts.telemetry.cube_surf_dropped)) == 0
+    slab_after = int(np.asarray(state.surf_cnt).max())
+    assert slab_after < 256, slab_after    # thinning left headroom
+
+    # idle frames: the rolling reinstatement window drains archived
+    # rows back into the slab headroom
+    reinstated = 0
+    quiet = rng.uniform(60, 70, (32, 3)).astype(np.float32)
+    for _ in range(4):
+        state, mouts = step(state, _cloud(quiet[:8], 512),
+                            _cloud(quiet, 2048))
+        reinstated += int(np.asarray(mouts.telemetry.archive_reinstated))
+    assert reinstated > 0, "archived overflow never re-entered the slabs"
+    assert int(np.asarray(state.surf_cnt).max()) > slab_after

@@ -86,7 +86,8 @@ def test_cube_slab_overflow_counters():
     m = dataclasses.replace(base.mapping, corner_cube_capacity=8,
                             surf_cube_capacity=8, insert_headroom=64,
                             archive_capacity=32, archive_append_budget=16,
-                            archive_cubes_per_frame=1)
+                            archive_cubes_per_frame=1,
+                            archive_reinstate_budget=16)
     cfg = dataclasses.replace(base, mapping=m)
     _, outs = _step_engine(cfg, 6, n_pts=512, scale=3.0)
     drops = sum(int(o.telemetry.mapping.cube_surf_dropped) for o in outs)
