@@ -36,8 +36,8 @@ import jax.numpy as jnp
 from loam_velodyne_tpu.config import LoamConfig
 from loam_velodyne_tpu.ops.features import SweepFeatures
 from loam_velodyne_tpu.ops.neighbors import (
-    corner_correspondences,
-    surf_correspondences,
+    corner_correspondences_auto as corner_correspondences,
+    surf_correspondences_auto as surf_correspondences,
 )
 from loam_velodyne_tpu.types import PointSet
 from loam_velodyne_tpu.utils import math as lm

@@ -277,7 +277,20 @@ def _all_labels_pallas(grid: RingGrid, reg: RegistrationConfig
                        ) -> Tuple[Array, Array]:
     """Batched (ring x region) greedy labeling through the Pallas kernel
     (ops/pallas_greedy.py): the whole suppressed pick loop runs inside
-    one Mosaic program instead of ~160 XLA while-loop dispatches."""
+    one Mosaic program instead of ~160 XLA while-loop dispatches.
+
+    Each (ring, region) row is processed in a WINDOW of the ring
+    (region span + the +-curvature_region mark spill, lane-aligned)
+    instead of the full ring width: a region covers only ~P/J columns,
+    so full-width rows made every sequential pick step ~J times more
+    expensive than the work it did (HDL-64E: (384, 2304) state for
+    383-point regions — the kernel profiled at 1.9 ms/sweep, ~4.5x the
+    windowed cost). Windows are contiguous dynamic slices (PERF.md §1);
+    results scatter back by one vmapped dynamic_update_slice into
+    per-region lanes summed over regions — exact, because regions are
+    disjoint and a window always contains its region's full mark reach
+    (off <= sp - C and off + W > ep + C by construction).
+    """
     from loam_velodyne_tpu.ops.pallas_greedy import greedy_pick_rows
 
     r, p = grid.xyz.shape[:2]
@@ -294,22 +307,47 @@ def _all_labels_pallas(grid: RingGrid, reg: RegistrationConfig
         lambda n: region_bounds(n, c, reg.n_feature_regions))(grid.count)
     region_ok = ep > sp                                    # (R, J)
 
-    idx = jnp.arange(p)
-    in_region = ((idx[None, None, :] >= sp[:, :, None])
-                 & (idx[None, None, :] <= ep[:, :, None])
-                 & region_ok[:, :, None] & curv_valid[:, None, :])  # (R,J,P)
-
     rows = r * j
+    # Window width: the longest possible region (count = P) plus the
+    # +-C suppression spill, rounded up to the 128-lane tile.
+    max_len = (p - 1 - 2 * c + j - 1) // j + 1
+    w = min(((max_len + 2 * c + 127) // 128) * 128, p)
+    off = jnp.clip(sp - c, 0, p - w).astype(jnp.int32)     # (R, J)
+    off_flat = off.reshape(rows)
+    ring_row = jnp.repeat(jnp.arange(r, dtype=jnp.int32), j)
 
-    def rep(a):  # (R, P) -> (R*J, P)
-        return jnp.broadcast_to(a[:, None, :], (r, j, a.shape[-1])
-                                ).reshape(rows, -1)
+    def win(a):
+        """(R, P) -> (rows, W): each (ring, region) row's window, as a
+        vmapped 2D dynamic_slice — ONE gather-of-blocks kernel straight
+        from the (R, P) source (no (rows, P) broadcast materializes)."""
+        return jax.vmap(
+            lambda rr, o: jax.lax.dynamic_slice(a, (rr, o), (1, w))[0]
+        )(ring_row, off_flat)
 
-    curv_r = rep(curv)
-    left_r = rep(left_ext)
-    right_r = rep(right_ext)
-    picked0 = rep(rejected)
-    in_region_r = in_region.reshape(rows, p)
+    def place_sum(vals_w):
+        """(rows, W) -> (R, P): re-position windows at their offsets and
+        sum over the region axis. Built as pad + vmapped dynamic_slice —
+        a GATHER of contiguous blocks — because the scatter dual
+        (vmapped dynamic_update_slice) profiled at ~0.9 ms per call on
+        HDL-64E where this form is ~10x cheaper (PERF.md §1: re-tile
+        anything shaped like random-offset writes into contiguous
+        reads). Exact for region-disjoint values (labels, in-region
+        flags); summed mark spill is thresholded >0 by the caller."""
+        padded = jnp.pad(vals_w, ((0, 0), (p, p)))
+        placed = jax.vmap(
+            lambda row, o: jax.lax.dynamic_slice(row, (p - o,), (p,))
+        )(padded, off_flat)
+        return jnp.sum(placed.reshape(r, j, p), axis=1)
+
+    curv_w = win(curv)
+    left_w = win(left_ext)
+    right_w = win(right_ext)
+    picked0_w = win(rejected)
+
+    col_w = off_flat[:, None] + jnp.arange(w, dtype=jnp.int32)[None, :]
+    sp_f, ep_f = sp.reshape(rows), ep.reshape(rows)
+    in_region_w = ((col_w >= sp_f[:, None]) & (col_w <= ep_f[:, None])
+                   & region_ok.reshape(rows)[:, None] & win(curv_valid))
 
     def candidates(scores, cap):
         top, cand = jax.lax.top_k(scores, cap)
@@ -321,24 +359,35 @@ def _all_labels_pallas(grid: RingGrid, reg: RegistrationConfig
         return cand, ok
 
     # corners
-    scores = jnp.where(in_region_r & ~picked0, curv_r, -jnp.inf)
+    scores = jnp.where(in_region_w & ~picked0_w, curv_w, -jnp.inf)
     cand, ok = candidates(scores, reg.corner_scan_cap)
-    corner_labels, corner_marks = greedy_pick_rows(
-        curv_r, cand, ok, picked0, left_r, right_r,
+    corner_labels_w, corner_marks_w = greedy_pick_rows(
+        curv_w, cand, ok, picked0_w, left_w, right_w,
         reg.surface_curvature_threshold, reg.max_corner_less_sharp,
-        reg.max_corner_sharp, True)
-    labels = jnp.max(corner_labels.reshape(r, j, p), axis=1)
-    picked1 = rejected | jnp.any(corner_marks.reshape(r, j, p), axis=1)
+        reg.max_corner_sharp, True, n_steps=reg.corner_scan_cap)
+    # One reconstruction for labels AND marks: labels ride the low bits
+    # (region-disjoint, values 0..2), the mark spill rides bit 2+ (its
+    # cross-window overlap sums to at most 2).
+    packed = place_sum(corner_labels_w + 4 * corner_marks_w.astype(jnp.int32))
+    labels = packed % 4
+    picked1 = rejected | (packed >= 4)
 
     # flats
-    scores = jnp.where(in_region_r & ~rep(picked1), -curv_r, -jnp.inf)
+    picked1_w = win(picked1)
+    scores = jnp.where(in_region_w & ~picked1_w, -curv_w, -jnp.inf)
     cand, ok = candidates(scores, reg.flat_scan_cap)
-    flat_labels, _ = greedy_pick_rows(
-        curv_r, cand, ok, rep(picked1), left_r, right_r,
-        reg.surface_curvature_threshold, reg.max_surface_flat, 0, False)
-    labels = labels + jnp.min(flat_labels.reshape(r, j, p), axis=1)
+    flat_labels_w, _ = greedy_pick_rows(
+        curv_w, cand, ok, picked1_w, left_w, right_w,
+        reg.surface_curvature_threshold, reg.max_surface_flat, 0, False,
+        n_steps=reg.flat_scan_cap)
+    labels = labels + place_sum(flat_labels_w)
 
-    return labels, jnp.any(in_region, axis=1)
+    idx = jnp.arange(p)
+    any_region = jnp.any(
+        (idx[None, None, :] >= sp[:, :, None])
+        & (idx[None, None, :] <= ep[:, :, None]) & region_ok[:, :, None],
+        axis=1) & curv_valid
+    return labels, any_region
 
 
 def extract_features(grid: RingGrid, reg: RegistrationConfig,

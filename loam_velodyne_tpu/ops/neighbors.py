@@ -112,6 +112,65 @@ def surf_correspondences(query_xyz: Array, query_mask: Array,
     return SurfMatch(j=j, l=l, m=m, valid=valid)
 
 
+def _use_pallas_corresp() -> bool:
+    import os
+    if os.environ.get("LOAM_DISABLE_PALLAS_CORRESP"):   # A/B escape hatch
+        return False
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:
+        return False
+
+
+def corner_correspondences_fused(query_xyz: Array, query_mask: Array,
+                                 last: PointSet,
+                                 ring_bracket: float = RING_BRACKET,
+                                 interpret: bool = False) -> CornerMatch:
+    """``corner_correspondences`` through the fused streaming kernel
+    (ops/pallas_corresp.py): identical matches, one VMEM-resident pass
+    per argmin instead of HBM-materialized (Q, M) matrices."""
+    from loam_velodyne_tpu.ops.pallas_corresp import _corresp_call
+    j, dj, l, dl, _, _ = _corresp_call(
+        query_xyz, last.xyz, last.ring, last.mask,
+        bracket=float(ring_bracket), surf_mode=False, interpret=interpret)
+    valid = (dj < NN_GATE_SQ) & query_mask & (dl < NN_GATE_SQ)
+    return CornerMatch(j=j, l=l, valid=valid)
+
+
+def surf_correspondences_fused(query_xyz: Array, query_mask: Array,
+                               last: PointSet,
+                               ring_bracket: float = RING_BRACKET,
+                               interpret: bool = False) -> SurfMatch:
+    """``surf_correspondences`` through the fused streaming kernel."""
+    from loam_velodyne_tpu.ops.pallas_corresp import _corresp_call
+    j, dj, l, dl, m, dm = _corresp_call(
+        query_xyz, last.xyz, last.ring, last.mask,
+        bracket=float(ring_bracket), surf_mode=True, interpret=interpret)
+    valid = ((dj < NN_GATE_SQ) & query_mask
+             & (dl < NN_GATE_SQ) & (dm < NN_GATE_SQ))
+    return SurfMatch(j=j, l=l, m=m, valid=valid)
+
+
+def corner_correspondences_auto(query_xyz: Array, query_mask: Array,
+                                last: PointSet,
+                                ring_bracket: float = RING_BRACKET
+                                ) -> CornerMatch:
+    if _use_pallas_corresp():
+        return corner_correspondences_fused(query_xyz, query_mask, last,
+                                            ring_bracket)
+    return corner_correspondences(query_xyz, query_mask, last, ring_bracket)
+
+
+def surf_correspondences_auto(query_xyz: Array, query_mask: Array,
+                              last: PointSet,
+                              ring_bracket: float = RING_BRACKET
+                              ) -> SurfMatch:
+    if _use_pallas_corresp():
+        return surf_correspondences_fused(query_xyz, query_mask, last,
+                                          ring_bracket)
+    return surf_correspondences(query_xyz, query_mask, last, ring_bracket)
+
+
 def knn_sq_dist(query_xyz: Array, query_mask: Array, ref_xyz: Array,
                 ref_mask: Array, k: int) -> tuple[Array, Array]:
     """k nearest neighbors by brute force: returns (indices (Q,k),

@@ -86,20 +86,26 @@ def _greedy_kernel(curv_ref, cand_idx_ref, cand_ok_ref, picked0_ref,
 
 @functools.partial(jax.jit, static_argnames=("threshold", "quota",
                                              "sharp_quota", "is_corner",
-                                             "interpret"))
+                                             "n_steps", "interpret"))
 def greedy_pick_rows(curv: Array, cand_idx: Array, cand_ok: Array,
                      picked0: Array, left_ext: Array, right_ext: Array,
                      threshold: float, quota: int, sharp_quota: int,
-                     is_corner: bool, interpret: bool = False
-                     ) -> Tuple[Array, Array]:
+                     is_corner: bool, n_steps: int | None = None,
+                     interpret: bool = False) -> Tuple[Array, Array]:
     """Batched greedy pick over (rows, P) state.
 
     curv (rows, P) f32; cand_idx/cand_ok (rows, K); picked0 (rows, P)
     bool; exts (rows, P) i32. Returns (labels (rows, P) i32,
     new_marks (rows, P) bool).
+
+    n_steps: how many candidate steps to actually run (<= K). The
+    candidate arrays are lane-padded to multiples of 128 with ok=False
+    rows; without this cap the padding costs real no-op loop steps
+    (flat picks: 64 -> 128, i.e. 2x the sequential chain for nothing).
     """
     rows, p = curv.shape
     k_cap = cand_idx.shape[1]
+    steps = min(n_steps, k_cap) if n_steps is not None else k_cap
     # Row-block the grid so each block's VMEM residency stays small
     # (HDL-64E is 384 rows x 2304 cols; 6 arrays of that would blow the
     # ~16 MB VMEM budget in one block).
@@ -111,7 +117,7 @@ def greedy_pick_rows(curv: Array, cand_idx: Array, cand_ok: Array,
     grid = rows // block_rows
 
     kernel = functools.partial(
-        _greedy_kernel, k_cap=k_cap, threshold=threshold, quota=quota,
+        _greedy_kernel, k_cap=steps, threshold=threshold, quota=quota,
         sharp_quota=sharp_quota, is_corner=is_corner)
 
     def row_spec(cols):

@@ -180,8 +180,16 @@ def ingest_sweep(raw: RawSweep, lidar: LidarConfig,
                      .astype(jnp.int32), axis=0)
     starts = jnp.concatenate([jnp.zeros((1,), jnp.int32),
                               jnp.cumsum(counts[:-1]).astype(jnp.int32)])
-    rank_s = jnp.arange(n, dtype=jnp.int32) \
-        - starts[jnp.clip(ring_s, 0, r_rings)]
+    # Within-ring rank WITHOUT `starts[ring_s]`: that (N,)-row gather
+    # from the 65-entry table serializes row-by-row on TPU and profiled
+    # at 1.2 ms/sweep on HDL-64E — the single most expensive ingest op.
+    # The sorted keys are segment-contiguous, so each row's segment
+    # start propagates with one cummax (same trick as the cube-scatter
+    # rank, models/mapping.py::scatter_into_cubes).
+    i = jnp.arange(n, dtype=jnp.int32)
+    seg_start = jnp.concatenate([jnp.ones((1,), bool),
+                                 ring_s[1:] != ring_s[:-1]])
+    rank_s = i - jax.lax.cummax(jnp.where(seg_start, i, 0))
     keep_s = valid_s & (rank_s < p_cap)
 
     # The (R, P) ring grid: ring r's points occupy sorted rows
@@ -195,18 +203,26 @@ def ingest_sweep(raw: RawSweep, lidar: LidarConfig,
     # window so a slice starting at the last ring's offset never clamps
     # (XLA clamps out-of-range starts, which would misalign rows).
     xyz_s = jnp.stack([x_s, y_s, z_s], axis=1)
-    pay_s = jnp.concatenate([xyz_s, rel_s[:, None]], axis=1)     # (n, 4)
     grid_count = jnp.minimum(counts[:r_rings], p_cap)
     grid_mask = (jnp.arange(p_cap, dtype=jnp.int32)[None, :]
                  < grid_count[:, None])
-    pay_pad = jnp.concatenate(
-        [pay_s, jnp.zeros((p_cap, 4), jnp.float32)], axis=0)
-    grid_all = jax.vmap(
-        lambda s: jax.lax.dynamic_slice(pay_pad, (s, 0), (p_cap, 4))
-    )(starts[:r_rings])                                          # (R, P, 4)
-    grid_all = jnp.where(grid_mask[..., None], grid_all, 0.0)
-    grid_xyz = grid_all[..., :3]
-    grid_rel = grid_all[..., 3]
+    # Component-planar window gather: slicing a (N, 4) payload in
+    # (P, 4) blocks puts the 4-wide payload on the LANE axis (4 of 128
+    # lanes busy — profiled 1.4 ms/sweep on HDL-64E); four 1D column
+    # slices keep P on the lanes and run at full VPU width.
+    pad1 = jnp.zeros((p_cap,), jnp.float32)
+    starts_r = starts[:r_rings]
+
+    def windows(col):
+        padded = jnp.concatenate([col, pad1])
+        return jax.vmap(
+            lambda s: jax.lax.dynamic_slice(padded, (s,), (p_cap,))
+        )(starts_r)                                              # (R, P)
+
+    gx, gy, gz, grid_rel = (windows(a) for a in (x_s, y_s, z_s, rel_s))
+    grid_xyz = jnp.where(grid_mask[..., None],
+                         jnp.stack([gx, gy, gz], axis=-1), 0.0)
+    grid_rel = jnp.where(grid_mask, grid_rel, 0.0)
 
     # The sorted rows ARE the flat ring-major full-resolution cloud
     # (the reference's concatenated _laserCloud layout) — no second
