@@ -22,6 +22,16 @@ import jax.numpy as jnp
 from loam_velodyne_tpu.config import LidarConfig, RegistrationConfig
 from loam_velodyne_tpu.types import PointSet, RingGrid
 
+
+def _use_pallas_grid() -> bool:
+    import os
+    if os.environ.get("LOAM_DISABLE_PALLAS_GRID"):      # A/B escape hatch
+        return False
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:
+        return False
+
 Array = jax.Array
 
 
@@ -209,17 +219,32 @@ def ingest_sweep(raw: RawSweep, lidar: LidarConfig,
     # Component-planar window gather: slicing a (N, 4) payload in
     # (P, 4) blocks puts the 4-wide payload on the LANE axis (4 of 128
     # lanes busy — profiled 1.4 ms/sweep on HDL-64E); four 1D column
-    # slices keep P on the lanes and run at full VPU width.
+    # slices keep P on the lanes and run at full VPU width. On TPU the
+    # windows move as R bulk DMAs through ops/pallas_grid.py (XLA's
+    # gather lowering of the vmapped dynamic_slice runs at element
+    # granularity — 3.1 ms/sweep on HDL-64E for 2.4 MB of copies).
     pad1 = jnp.zeros((p_cap,), jnp.float32)
     starts_r = starts[:r_rings]
 
-    def windows(col):
-        padded = jnp.concatenate([col, pad1])
-        return jax.vmap(
-            lambda s: jax.lax.dynamic_slice(padded, (s,), (p_cap,))
-        )(starts_r)                                              # (R, P)
+    if _use_pallas_grid() and p_cap % 128 == 0:
+        from loam_velodyne_tpu.ops.pallas_grid import grid_windows
+        # Pad so every aligned-slice window (start rounded down to the
+        # lane tile, width P+128) stays in bounds, and to a lane-tiled
+        # total width.
+        pad_w = ((n + p_cap + 128 + 127) // 128) * 128 - n
+        padk = jnp.zeros((pad_w,), jnp.float32)
+        cols = jnp.stack([jnp.concatenate([a, padk])
+                          for a in (x_s, y_s, z_s, rel_s)])    # (4, Npad)
+        g = grid_windows(cols, starts_r, p_cap)                # (R, 4, P)
+        gx, gy, gz, grid_rel = (g[:, c, :] for c in range(4))
+    else:
+        def windows(col):
+            padded = jnp.concatenate([col, pad1])
+            return jax.vmap(
+                lambda s: jax.lax.dynamic_slice(padded, (s,), (p_cap,))
+            )(starts_r)                                          # (R, P)
 
-    gx, gy, gz, grid_rel = (windows(a) for a in (x_s, y_s, z_s, rel_s))
+        gx, gy, gz, grid_rel = (windows(a) for a in (x_s, y_s, z_s, rel_s))
     grid_xyz = jnp.where(grid_mask[..., None],
                          jnp.stack([gx, gy, gz], axis=-1), 0.0)
     grid_rel = jnp.where(grid_mask, grid_rel, 0.0)
