@@ -168,21 +168,59 @@ def bench_batched_distinct(cfg, n_sweeps, batch, chunk, cap=CAP):
     return batch * (n_sweeps - chunk) / (time.perf_counter() - t0)
 
 
-def bench_live_latency(cfg, sweeps, n=12, cap=CAP):
+def bench_live_latency(cfg, sweeps, n=None, cap=CAP):
     """Per-sweep live-mode latency through the driver's double-buffered
     loop (LoamDriver.run_live: sweep N+1's host pad + transfer overlap
     step N's device execution; only the pose readback is on the
-    per-sweep critical path): returns (p50_ms, max_ms)."""
+    per-sweep critical path): returns (p50_ms, max_ms, attribution).
+
+    attribution decomposes the MAX sweep into the driver's named
+    segments (dispatch / stage / consume) and cadence events (surround
+    dispatch, archive compaction) so a tail outlier is a named cost,
+    not a mystery number (VERDICT r4 task 4)."""
     from loam_velodyne_tpu.io.driver import LoamDriver
 
+    n = len(sweeps) if n is None else n
     drv = LoamDriver(cfg, sweep_capacity=cap, system_delay=0)
     drv.process_sweep(sweeps[0])                        # warmup/compile
     drv._build_surround()       # warm the surround-map program too —
     # run_live honors the surround cadence, and its first invocation
     # mid-loop would otherwise charge a program load to one sweep's
     # latency (seen as a ~1 s max outlier).
-    lat = sorted(1e3 * t for t in drv.run_live(sweeps[1:n]))
-    return lat[len(lat) // 2], lat[-1]
+    raw = [1e3 * t for t in drv.run_live(sweeps[1:n])]
+    lat = sorted(raw)
+    i_max = int(np.argmax(raw))
+    ev = drv.live_events[i_max]
+    attribution = {
+        "max_sweep_index": i_max,
+        "max_dispatch_ms": round(ev["dispatch_ms"], 1),
+        "max_stage_ms": round(ev["stage_ms"], 1),
+        "max_consume_ms": round(ev["consume_ms"], 1),
+        "max_had_surround": bool(ev["surround"]),
+        "max_had_compaction": bool(ev["compact"]),
+        "surround_dispatches": drv.metrics.counters["surround_maps"],
+        "archive_compactions": drv.metrics.counters["archive_compactions"],
+    }
+    return lat[len(lat) // 2], lat[-1], attribution
+
+
+def _finalize_artifact(lines):
+    """Write BENCH_LATEST.json and regenerate the doc blocks (README /
+    PERF / BASELINE between the BENCH_SYNC markers). Runs only on full
+    `python bench.py` invocations — exactly what the driver runs every
+    round — so the docs can never silently go stale again
+    (tests/test_doc_sync.py enforces the sync; VERDICT r4 task 7)."""
+    import os
+    art = {"ts": time.time(), "lines": lines}
+    repo = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(repo, "BENCH_LATEST.json"), "w") as f:
+        json.dump(art, f, indent=1)
+    try:
+        sys.path.insert(0, os.path.join(repo, "tools"))
+        import update_docs
+        update_docs.apply(art)
+    except Exception as e:                        # doc sync must never
+        print(f"doc sync skipped: {e}", file=sys.stderr)   # fail the bench
 
 
 def main():
@@ -219,13 +257,23 @@ def main():
     stream_rate, ate, tel = bench_single_stream(cfg, sweeps, gt, chunk)
     throughput = bench_batched(cfg, sweeps, batch, chunk)
     distinct = bench_batched_distinct(cfg, n_sweeps, batch, chunk)
-    live_p50, live_p99 = bench_live_latency(cfg, sweeps)
+    live_p50, live_p99, live_attr = bench_live_latency(cfg, sweeps)
 
-    print(json.dumps({
+    emitted = []
+
+    def emit(line):
+        print(json.dumps(line))
+        emitted.append(line)
+
+    # Headline = DISTINCT-lane batched throughput (8 independent
+    # trajectories): identical lanes keep the 8 per-lane cube maps
+    # congruent and under-measure HBM pressure by ~8% (VERDICT r4
+    # weak #7 / task 9) — the fleet-replay number is the honest one.
+    emit({
         "metric": "vlp16_full_pipeline_throughput",
-        "value": round(throughput, 2),
+        "value": round(distinct, 2),
         "unit": "sweeps/s",
-        "vs_baseline": round(throughput / 10.0, 3),
+        "vs_baseline": round(distinct / 10.0, 3),
         "extra": {
             "single_stream_sweeps_per_sec": round(stream_rate, 2),
             "single_stream_ms_per_sweep": round(1e3 / max(stream_rate, 1e-9), 1),
@@ -236,11 +284,12 @@ def main():
             "ate_aligned_m": round(ate, 4),
             "live_step_ms_p50": round(live_p50, 1),
             "live_step_ms_max": round(live_p99, 1),
+            "live_max_attribution": live_attr,
             "n_sweeps": n_sweeps - chunk,
             "telemetry": tel,
             "device": str(jax.devices()[0]),
         },
-    }))
+    })
 
     if not full:
         return
@@ -249,9 +298,9 @@ def main():
     odo_cfg = dataclasses.replace(
         cfg, odometry=dataclasses.replace(cfg.odometry, io_ratio=10 ** 6))
     rate, ate2, _ = bench_single_stream(odo_cfg, sweeps, gt, chunk)
-    print(json.dumps({"metric": "vlp16_odometry_only", "value": round(rate, 2),
-                      "unit": "sweeps/s", "vs_baseline": round(rate / 10, 3),
-                      "extra": {"ate_aligned_m": round(ate2, 4)}}))
+    emit({"metric": "vlp16_odometry_only", "value": round(rate, 2),
+          "unit": "sweeps/s", "vs_baseline": round(rate / 10, 3),
+          "extra": {"ate_aligned_m": round(ate2, 4)}})
 
     for name in ("HDL-32", "HDL-64E"):
         lcfg = LoamConfig.preset(name)
@@ -261,10 +310,12 @@ def main():
         rate, late, ltel = bench_single_stream(lcfg, lsweeps, lgt, chunk,
                                                cap=lcfg.capacities.full_cloud)
         key = name.lower().replace("-", "")
-        print(json.dumps({"metric": f"{key}_full_pipeline", "value": round(rate, 2),
-                          "unit": "sweeps/s", "vs_baseline": round(rate / 10, 3),
-                          "extra": {"ate_aligned_m": round(late, 4),
-                                    "telemetry": ltel}}))
+        emit({"metric": f"{key}_full_pipeline", "value": round(rate, 2),
+              "unit": "sweeps/s", "vs_baseline": round(rate / 10, 3),
+              "extra": {"ate_aligned_m": round(late, 4),
+                        "telemetry": ltel}})
+
+    _finalize_artifact(emitted)
 
 
 if __name__ == "__main__":

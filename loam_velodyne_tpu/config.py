@@ -201,17 +201,24 @@ class MappingConfig:
     archive_capacity: int = 262144
     archive_cubes_per_frame: int = 8     # top over-capacity cubes spilled
     archive_append_budget: int = 2048    # rows archived per frame per kind
-    # Rolling archive -> slab reinstatement: every mapping frame, a
-    # cursor-advancing window of this many archive rows is offered back
-    # to the SEARCH slabs (accepted wherever the row's cube has
-    # headroom, e.g. after insert-burst overflow or post-eviction
-    # rebuilds), so archived geometry re-enters the 5-NN search tier —
-    # the reference's KD-trees search everything it stores
-    # (BasicLaserMapping.cpp:503-509, :665-817). Rows whose cube slab is
-    # full stay archived (not a loss). The window rides the existing
-    # far-point whole-window scatter, so the per-frame cost is one
-    # wider scatter, not a new pass.
-    archive_reinstate_budget: int = 1024
+    # Archive -> slab reinstatement: every mapping frame, a window of
+    # this many archive rows is offered back to the SEARCH slabs
+    # (accepted wherever the row's cube has headroom, e.g. after
+    # insert-burst overflow or post-eviction rebuilds), so archived
+    # geometry re-enters the 5-NN search tier — the reference's
+    # KD-trees search everything they store (BasicLaserMapping.cpp:
+    # 503-509, :665-817). Rows whose cube slab is full stay archived
+    # (not a loss). The window rides the existing far-point
+    # whole-window scatter, so the per-frame cost is one wider scatter,
+    # not a new pass. The window start is PRIORITIZED (models/mapping
+    # step: cursor jump to the first pool row whose cube is inside the
+    # current search neighborhood), so reinstatement latency for
+    # geometry the sensor is near is ceil(wanted_rows/budget) frames
+    # regardless of pool size — which is why the budget can stay small
+    # (round-4's 1024 budget existed to shorten a blind full-pool lap;
+    # it cost ~5 batched sweeps/s of scatter width on every sensor,
+    # measured round 5).
+    archive_reinstate_budget: int = 256
     fov_half_aperture_term: float = 100.0  # FOV check constant (BasicLaserMapping.cpp:477-481)
     # Downsampled feature-stack capacities (inputs to the map GN).
     corner_stack_capacity: int = 2048

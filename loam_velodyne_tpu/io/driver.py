@@ -280,6 +280,14 @@ class LoamDriver:
         except StopIteration:
             return []
         lat: List[float] = []
+        # Per-iteration latency attribution (VERDICT r4 task 4: a tail
+        # sweep must decompose into named segments/events, not be a
+        # mystery number): dispatch = jit call (host trace/dispatch,
+        # async), stage = next sweep's pad + host->device copy,
+        # consume = blocking drain of the previous packed readback PLUS
+        # any cadence work it triggers (surround dispatch, archive
+        # compaction — flagged per iteration from the counter deltas).
+        self.live_events: List[dict] = []
         done = False
         pending = None        # previous sweep's packed (device array)
         while not done:
@@ -291,16 +299,29 @@ class LoamDriver:
             # the (27,) packed array crosses per sweep; everything else
             # stays on device.
             outs.packed.copy_to_host_async()
+            t_disp = time.perf_counter()
             # overlap: stage the NEXT sweep while the device runs this one
             try:
                 cur = self.pad_sweep(next(it))
             except StopIteration:
                 done = True
+            t_stage = time.perf_counter()
+            sur0 = self.metrics.counters["surround_maps"]
+            cmp0 = self.metrics.counters["archive_compactions"]
             if pending is not None:
                 self._consume_packed(np.asarray(pending))  # sync point
+            t_cons = time.perf_counter()
             pending = outs.packed
-            dt = time.perf_counter() - t0
+            dt = t_cons - t0
             lat.append(dt)
+            self.live_events.append({
+                "dispatch_ms": 1e3 * (t_disp - t0),
+                "stage_ms": 1e3 * (t_stage - t_disp),
+                "consume_ms": 1e3 * (t_cons - t_stage),
+                "surround": self.metrics.counters["surround_maps"] - sur0,
+                "compact": self.metrics.counters["archive_compactions"]
+                - cmp0,
+            })
             self.step_times.append(dt)
             self.metrics.record("step", dt)
         self._consume_packed(np.asarray(pending))

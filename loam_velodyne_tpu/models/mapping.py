@@ -77,6 +77,9 @@ class MappingState(NamedTuple):
     archive_kind: Array    # (A,) int32 0=corner, 1=surf
     archive_valid: Array   # (A,)
     archive_cnt: Array     # () int32 append cursor
+    # () int32 reinstatement cursor: where the next rolling/priority
+    # reinstatement window starts (see step's priority cursor jump).
+    archive_cursor: Array
 
     @staticmethod
     def create(cfg: LoamConfig) -> "MappingState":
@@ -98,6 +101,7 @@ class MappingState(NamedTuple):
             archive_kind=jnp.zeros((a,), jnp.int32),
             archive_valid=jnp.zeros((a,), bool),
             archive_cnt=jnp.zeros((), jnp.int32),
+            archive_cursor=jnp.zeros((), jnp.int32),
         )
 
 
@@ -805,6 +809,14 @@ def step(state: MappingState, odom_pose: Array, corner_cloud: PointSet,
     arch_valid = state.archive_valid & jnp.all(
         (arch_c >= 0) & (arch_c < _dims(m)[None, :]), axis=-1)
     arch_cnt = state.archive_cnt
+    # Reinstatement "wanted" probe, fused into this validity pass (the
+    # pool xyz is already being read here — a separate probe pass cost
+    # ~5 batched sweeps/s at 8 lanes x 262k rows): a row is wanted if
+    # its cube lies inside the (2r+1)^3 search neighborhood. Rows
+    # archived later this frame are probed next frame.
+    arch_wanted = arch_valid & jnp.all(
+        jnp.abs(arch_c - (sensor_w - new_origin)[None, :])
+        <= m.neighborhood, axis=-1)
 
     # Gather the (2r+1)^3 neighborhood slabs ONCE; assembly, insert and
     # thinning all operate on these local copies, and the global cube
@@ -989,10 +1001,27 @@ def step(state: MappingState, odom_pose: Array, corner_cloud: PointSet,
     # lives in exactly one tier.
     rb = m.archive_reinstate_budget
     a_cap = arch_xyz.shape[0]
-    r_start = jnp.minimum(
-        jnp.mod(state.map_frame.astype(jnp.int32) * rb,
-                jnp.maximum(arch_cnt, 1)),
-        jnp.int32(a_cap - rb))
+    # Priority cursor jump (timely reinstatement): latency for geometry
+    # the sensor is ACTUALLY near must be a few frames, not a full-pool
+    # cursor lap (~256 frames at 1024 rows/frame over the 262k pool).
+    # "Wanted" rows are valid rows whose cube lies inside the (2r+1)^3
+    # search neighborhood — exactly the rows the reference would be
+    # searching this frame (BasicLaserMapping.cpp:503-509). The window
+    # start jumps to the first wanted row in rotation order after the
+    # carried cursor — elementwise over the pool plus one min-reduce (no
+    # sort, no gather) — so wanted clusters drain round-robin within
+    # ceil(wanted/rb) frames and a full cube can't starve the rest;
+    # with no wanted rows it falls back to the plain rolling advance
+    # over the appended region.
+    pool_idx = jnp.arange(a_cap, dtype=jnp.int32)
+    rot = jnp.mod(pool_idx - state.archive_cursor, a_cap)
+    first = jnp.min(jnp.where(arch_wanted, rot, a_cap))
+    limit = jnp.maximum(arch_cnt, 1)
+    r_start = jnp.where(first < a_cap,
+                        jnp.mod(state.archive_cursor + first, a_cap),
+                        jnp.mod(state.archive_cursor, limit))
+    r_start = jnp.minimum(r_start, jnp.int32(a_cap - rb))
+    new_cursor = jnp.mod(r_start + max(rb, 1), limit)
     cand_xyz = jax.lax.dynamic_slice_in_dim(arch_xyz, r_start, rb, 0)
     cand_kind = jax.lax.dynamic_slice_in_dim(arch_kind, r_start, rb, 0)
     cand_valid = jax.lax.dynamic_slice_in_dim(arch_valid, r_start, rb, 0)
@@ -1027,7 +1056,8 @@ def step(state: MappingState, odom_pose: Array, corner_cloud: PointSet,
         transform_aft=tobe, transform_bef=odom_pose,
         map_frame=state.map_frame + 1,
         archive_xyz=arch_xyz, archive_kind=arch_kind,
-        archive_valid=arch_valid, archive_cnt=arch_cnt)
+        archive_valid=arch_valid, archive_cnt=arch_cnt,
+        archive_cursor=new_cursor)
 
     # Surround-map cadence: the reference's _mapFrameCount starts at
     # _mapFrameNum-1, so the 1st, (N+1)th, ... mapping frames publish

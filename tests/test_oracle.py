@@ -270,7 +270,10 @@ def test_engine_matches_oracle_hdl64_geometry():
         lower_bound = HDL64E.lower_bound_deg
         upper_bound = HDL64E.upper_bound_deg
 
-    n = 10
+    # 30 sweeps (round-5 task 6: the 64-ring path needs the same parity
+    # horizon as the flagship — the 10-sweep gate never tested length
+    # robustness on this geometry).
+    n = 30
     sweeps, gt, _ = synthetic.generate_sequence(
         n, lidar=HDL64E, n_azimuth=900, speed=1.0, noise_std=0.005,
         traj=_turning_traj())
