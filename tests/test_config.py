@@ -76,3 +76,26 @@ def test_no_dead_config_fields():
             if f".{f.name}" not in blob:
                 dead.append(f"{cls.__name__}.{f.name}")
     assert not dead, f"config fields never read outside config.py: {dead}"
+
+
+def test_sized_for_stream_buckets_ring_capacity():
+    """sized_for_stream picks the 128-aligned ring bucket covering the
+    observed density (with margin), caps at the datasheet preset, and
+    recomputes derived capacities (PERF.md: capacity padding is O(R*P)
+    work the reference's dynamic clouds never pay)."""
+    from loam_velodyne_tpu.config import LoamConfig
+
+    cfg = LoamConfig.preset("HDL-64E")
+    # 900-azimuth scene: 57600 points over 64 rings = 900/ring;
+    # * 1.25 margin = 1125 -> bucket 1152.
+    sized = cfg.sized_for_stream(57600)
+    assert sized.lidar.max_points_per_ring == 1152
+    assert sized.capacities.full_cloud == 64 * 1152
+    # quota-driven feature capacities are untouched
+    assert sized.capacities.sharp == cfg.capacities.sharp
+    assert sized.capacities.less_sharp == cfg.capacities.less_sharp
+    # a stream denser than the datasheet rate stays capped at the preset
+    assert (cfg.sized_for_stream(10_000_000).lidar.max_points_per_ring
+            == cfg.lidar.max_points_per_ring)
+    # tiny streams keep at least one lane tile
+    assert cfg.sized_for_stream(1).lidar.max_points_per_ring == 128

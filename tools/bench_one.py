@@ -32,8 +32,13 @@ def main():
     sweeps, gt, _ = synthetic.generate_sequence(
         n_sweeps, lidar=cfg.lidar, n_azimuth=900, speed=1.0,
         noise_std=0.005, traj=traj)
+    if "--datasheet-cap" in sys.argv:       # pre-round-5 fixed capacities
+        cap = cfg.capacities.full_cloud
+    else:
+        cap = bench.stream_cap(sweeps)
+        cfg = cfg.sized_for_stream(cap)
     rate, ate, tel = bench.bench_single_stream(
-        cfg, sweeps, gt, chunk=8, cap=cfg.capacities.full_cloud)
+        cfg, sweeps, gt, chunk=8, cap=cap)
     key = name.lower().replace("-", "")
     print(json.dumps({"metric": f"{key}_full_pipeline",
                       "value": round(rate, 2), "unit": "sweeps/s",
