@@ -278,7 +278,6 @@ class Capacities:
     less_sharp: int = 2048    # less-sharp corners per sweep
     flat: int = 512           # flat surface points per sweep
     less_flat: int = 8192     # downsampled less-flat points per sweep
-    less_flat_pool: int = 16384  # pre-voxel candidate pool (compacted)
     full_cloud: int = 40960   # full-resolution reprojected sweep
     #   (= the driver's default host-side sweep padding capacity)
 
@@ -295,13 +294,9 @@ class Capacities:
         # ~43% of the less-flat cloud through the even-thin policy.
         less_flat = _round_up(min(r * 512, 8192 if r <= 32 else 16384), 128)
         full = _round_up(r * lidar.max_points_per_ring, 128)
-        # Pool scales with ring count: a fixed 16384 overflowed by
-        # ~12k points/sweep on HDL-32 (caught by overflow telemetry).
-        pool = min(full, _round_up(max(16384, r * 1024), 128))
         return Capacities(
             sharp=sharp, less_sharp=less_sharp, flat=flat,
-            less_flat=less_flat, less_flat_pool=pool,
-            full_cloud=full,
+            less_flat=less_flat, full_cloud=full,
         )
 
 

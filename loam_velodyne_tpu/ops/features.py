@@ -390,6 +390,113 @@ def _all_labels_pallas(grid: RingGrid, reg: RegistrationConfig
     return labels, any_region
 
 
+def _assemble_features(grid: RingGrid, labels: Array, in_region: Array,
+                       reg: RegistrationConfig, caps: Capacities
+                       ) -> SweepFeatures:
+    """Feature clouds straight from the labeled grid.
+
+    Replaces the former full-grid class-ordered compaction sort (a
+    6-operand stable sort over all R*P rows — 147k on HDL-64E, the
+    single widest pass of the feature stage) with quota-shaped work:
+
+    - sharp / less-sharp / flat points are bounded per (ring, region)
+      by the greedy quotas, so each cloud is extracted by one
+      ``lax.top_k`` over the region WINDOWS (ascending-column scores —
+      azimuth order within a region, so the assembled order is exactly
+      the ring-major azimuth order the class sort produced) followed by
+      a quota-sized row gather and a small front-pack sort at the
+      cloud's own capacity (<= 7.8k rows vs R*P).
+    - the less-flat candidate pool (everything in-region that is not a
+      corner, reference BasicScanRegistration.cpp:245-252) is NOT
+      compacted at all: ``voxel_downsample`` re-sorts by cell identity
+      anyway, so the grid feeds it directly with a candidate mask and
+      the former pool capacity/truncation (and its telemetry) vanishes
+      — strictly more faithful (the reference never drops candidates).
+    """
+    r, p = labels.shape
+    j = reg.n_feature_regions
+    c = reg.curvature_region
+    sp, ep = jax.vmap(lambda n: region_bounds(n, c, j))(grid.count)
+    region_ok = ep > sp
+    rows = r * j
+    max_len = (p - 1 - 2 * c + j - 1) // j + 1
+    w = min(((max_len + 2 * c + 127) // 128) * 128, p)
+    off = jnp.clip(sp - c, 0, p - w).astype(jnp.int32)     # (R, J)
+    off_flat = off.reshape(rows)
+    ring_row = jnp.repeat(jnp.arange(r, dtype=jnp.int32), j)
+
+    def win(a):
+        return jax.vmap(
+            lambda rr, o: jax.lax.dynamic_slice(a, (rr, o), (1, w))[0]
+        )(ring_row, off_flat)
+
+    labels_w = win(labels)
+    valid_w = win(in_region & grid.mask)
+    wincol = jnp.arange(w, dtype=jnp.int32)
+    col_w = off_flat[:, None] + wincol[None, :]
+    own = (valid_w & (col_w >= sp.reshape(rows)[:, None])
+           & (col_w <= ep.reshape(rows)[:, None])
+           & region_ok.reshape(rows)[:, None])
+
+    n = r * p
+    flat_xyz = grid.xyz.reshape(n, 3)
+    flat_rel = grid.rel.reshape(n)
+
+    def cloud(match: Array, quota: int, capacity: int):
+        # Ascending-column scores: top_k returns each region's matches
+        # in azimuth order (scores are distinct; zero = no match).
+        score = jnp.where(match, w - wincol[None, :], 0)
+        top, kidx = jax.lax.top_k(score, quota)            # (rows, q)
+        ok = top > 0
+        gidx = ring_row[:, None] * p + off_flat[:, None] + kidx
+        gidx = jnp.where(ok, gidx, 0).reshape(-1)
+        xyz = flat_xyz[gidx]                               # (rows*q, 3)
+        rel = flat_rel[gidx]
+        ring_col = jnp.repeat(ring_row, quota).astype(jnp.float32)
+        okf = ok.reshape(-1)
+        n_rows = rows * quota
+        # Front-pack at the cloud's own capacity (downstream consumers
+        # rely on front-packed masks); stable on the row order, which
+        # is already ring-major / region-major / azimuth-ascending.
+        _, x_s, y_s, z_s, rel_s, ring_s = jax.lax.sort(
+            ((~okf).astype(jnp.int32), xyz[:, 0], xyz[:, 1], xyz[:, 2],
+             rel, ring_col), num_keys=1, is_stable=True)
+        if capacity > n_rows:
+            pad = (0, capacity - n_rows)
+            x_s, y_s, z_s, rel_s, ring_s = (
+                jnp.pad(a, pad) for a in (x_s, y_s, z_s, rel_s, ring_s))
+        count = jnp.sum(okf.astype(jnp.int32))
+        m = jnp.arange(capacity) < jnp.minimum(count, capacity)
+        xyz_o = jnp.stack([x_s[:capacity], y_s[:capacity], z_s[:capacity]],
+                          axis=1)
+        ps = PointSet(xyz=jnp.where(m[:, None], xyz_o, 0.0),
+                      rel=jnp.where(m, rel_s[:capacity], 0.0),
+                      ring=jnp.where(m, ring_s[:capacity].astype(jnp.int32),
+                                     0),
+                      mask=m)
+        return ps, jnp.maximum(count - capacity, 0)
+
+    sharp, d_sharp = cloud(own & (labels_w == LABEL_SHARP),
+                           reg.max_corner_sharp, caps.sharp)
+    less_sharp, d_lsharp = cloud(own & (labels_w >= LABEL_LESS_SHARP),
+                                 reg.max_corner_less_sharp, caps.less_sharp)
+    flat, d_flat = cloud(own & (labels_w == LABEL_FLAT),
+                         reg.max_surface_flat, caps.flat)
+
+    # Less-flat candidates: in-region, valid, not a corner (includes
+    # flat picks, reference labels <= 0). The grid IS the pool.
+    cand = (in_region & grid.mask & (labels < LABEL_LESS_SHARP)).reshape(n)
+    pool = PointSet(xyz=flat_xyz, rel=flat_rel,
+                    ring=jnp.repeat(jnp.arange(r, dtype=jnp.int32), p),
+                    mask=cand)
+    less_flat, voxel_dropped = voxel_downsample(
+        pool, reg.less_flat_filter_size, caps.less_flat,
+        per_ring=True, return_dropped=True)
+    return SweepFeatures(sharp=sharp, less_sharp=less_sharp, flat=flat,
+                         less_flat=less_flat,
+                         dropped=d_sharp + d_lsharp + d_flat + voxel_dropped)
+
+
 def extract_features(grid: RingGrid, reg: RegistrationConfig,
                      caps: Capacities) -> SweepFeatures:
     """Full-sweep feature extraction over the ring grid."""
@@ -398,66 +505,4 @@ def extract_features(grid: RingGrid, reg: RegistrationConfig,
     else:
         labels, in_region = jax.vmap(lambda x, n: _ring_labels(x, n, reg))(
             grid.xyz, grid.count)
-
-    r, p = labels.shape
-    n = r * p
-    flat_xyz = grid.xyz.reshape(n, 3)
-    flat_rel = grid.rel.reshape(n)
-    flat_ring = jnp.repeat(jnp.arange(r, dtype=jnp.int32), p)
-    flat_mask = grid.mask.reshape(n)
-    labels_f = labels.reshape(n)
-    in_region_f = in_region.reshape(n) & flat_mask
-
-    # ONE class-ordered payload sort replaces four per-feature-cloud
-    # compactions (each was its own stable N-row sort over the full
-    # grid — 147k rows on HDL-64E). Classes are laid out so every
-    # feature cloud is a CONTIGUOUS slice of the sorted array:
-    #   0 sharp | 1 less-sharp | 2 flat | 3 neutral-in-region | 4 rest
-    #   sharp       = [0, n0)
-    #   less_sharp  = [0, n0+n1)          (reference: labels >= 1)
-    #   flat        = [n0+n1, +n2)
-    #   less_flat   = [n0+n1, +n2+n3)     (reference: labels <= 0,
-    #                                      in-region; includes flat)
-    # Within a class the stable sort preserves ring-major grid order.
-    cls = jnp.where(
-        labels_f == LABEL_SHARP, 0,
-        jnp.where(labels_f == LABEL_LESS_SHARP, 1,
-                  jnp.where(labels_f == LABEL_FLAT, 2,
-                            jnp.where(in_region_f, 3, 4)))).astype(jnp.int32)
-    _, x_s, y_s, z_s, rel_s, ring_s = jax.lax.sort(
-        (cls, flat_xyz[:, 0], flat_xyz[:, 1], flat_xyz[:, 2], flat_rel,
-         flat_ring.astype(jnp.float32)), num_keys=1, is_stable=True)
-    # Class counts via one-hot compare+sum (scatter-adds serialize).
-    counts = jnp.sum((cls[:, None] == jnp.arange(4, dtype=jnp.int32)[None, :])
-                     .astype(jnp.int32), axis=0)
-    n_sharp, n_lsharp, n_flat, n_neut = (counts[0], counts[1], counts[2],
-                                         counts[3])
-    pay = jnp.stack([x_s, y_s, z_s, rel_s, ring_s], axis=1)     # (N, 5)
-    max_cap = max(caps.flat, caps.less_flat_pool)
-    pay_pad = jnp.concatenate([pay, jnp.zeros((max_cap, 5), jnp.float32)],
-                              axis=0)
-
-    def take(start, capacity: int, count) -> PointSet:
-        blk = jax.lax.dynamic_slice(pay_pad, (start, 0), (capacity, 5))
-        m = jnp.arange(capacity) < jnp.minimum(count, capacity)
-        return PointSet(xyz=jnp.where(m[:, None], blk[:, :3], 0.0),
-                        rel=jnp.where(m, blk[:, 3], 0.0),
-                        ring=jnp.where(m, blk[:, 4].astype(jnp.int32), 0),
-                        mask=m)
-
-    z0 = jnp.zeros((), jnp.int32)
-    sharp = take(z0, caps.sharp, n_sharp)
-    less_sharp = take(z0, caps.less_sharp, n_sharp + n_lsharp)
-    flat_start = n_sharp + n_lsharp
-    flat = take(flat_start, caps.flat, n_flat)
-    # The candidate pool is compacted BEFORE voxelization, so the sort
-    # inside the voxel grid runs on the pool capacity instead of the
-    # full R*P grid.
-    less_flat_all = take(flat_start, caps.less_flat_pool, n_flat + n_neut)
-    pool_dropped = jnp.maximum(n_flat + n_neut - caps.less_flat_pool, 0)
-    less_flat, voxel_dropped = voxel_downsample(
-        less_flat_all, reg.less_flat_filter_size, caps.less_flat,
-        per_ring=True, return_dropped=True)
-    return SweepFeatures(sharp=sharp, less_sharp=less_sharp, flat=flat,
-                         less_flat=less_flat,
-                         dropped=pool_dropped + voxel_dropped)
+    return _assemble_features(grid, labels, in_region, reg, caps)

@@ -24,32 +24,6 @@ from loam_velodyne_tpu.types import PointSet
 Array = jax.Array
 
 
-def compact_pointset(ps: PointSet, keep: Array, capacity: int) -> PointSet:
-    """Front-pack a PointSet's kept rows into a fixed capacity with ONE
-    stable payload-carrying sort on the keep flag (kept rows first, in
-    order), then slice. A scatter-based pack costs one row-by-row
-    scatter pass; the sort network batch-scales far better on TPU
-    (profiled ~3x cheaper under vmap)."""
-    n = keep.shape[0]
-    drop_key = (~keep).astype(jnp.int32)
-    _, x_s, y_s, z_s, rel_s, ring_s = jax.lax.sort(
-        (drop_key, ps.xyz[:, 0], ps.xyz[:, 1], ps.xyz[:, 2], ps.rel,
-         ps.ring.astype(jnp.float32)), num_keys=1, is_stable=True)
-    if capacity > n:                       # output wider than the input
-        pad = (0, capacity - n)
-        x_s, y_s, z_s, rel_s, ring_s = (
-            jnp.pad(a, pad) for a in (x_s, y_s, z_s, rel_s, ring_s))
-    count = jnp.minimum(jnp.sum(keep.astype(jnp.int32)), capacity)
-    mask = jnp.arange(capacity) < count
-    xyz = jnp.stack([x_s[:capacity], y_s[:capacity], z_s[:capacity]],
-                    axis=1)
-    return PointSet(xyz=jnp.where(mask[:, None], xyz, 0.0),
-                    rel=jnp.where(mask, rel_s[:capacity], 0.0),
-                    ring=jnp.where(mask, ring_s[:capacity].astype(jnp.int32),
-                                   0),
-                    mask=mask)
-
-
 def voxel_downsample(ps: PointSet, leaf: float, capacity: int,
                      per_ring: bool = False, return_dropped: bool = False):
     """Centroid-per-voxel downsample of a padded point set.
@@ -114,10 +88,6 @@ def voxel_downsample(ps: PointSet, leaf: float, capacity: int,
         [xyz_s, rel_s[:, None], jnp.ones((n, 1), jnp.float32)], axis=1)
     payload = jnp.where(mask_s[:, None], payload, 0.0)
     sums = jax.ops.segment_sum(payload, seg_id, num_segments=n)
-    cnt = sums[:, 4]
-    denom = jnp.maximum(cnt, 1.0)
-    centroid = sums[:, :3] / denom[:, None]
-    rel_mean = sums[:, 3] / denom
 
     # Work on the SEGMENT TABLE from here (row s = segment s): the
     # former per-point form gathered centroid[seg_id]/rel_mean[seg_id]
@@ -138,15 +108,41 @@ def voxel_downsample(ps: PointSet, leaf: float, capacity: int,
     # pool rescale), while even thinning degrades like a coarser leaf.
     # (The reference's PCL VoxelGrid never drops; this only fires at
     # capacity, and the dropped count is reported as telemetry.)
-    over = n_cells > capacity
-    ratio = jnp.float32(capacity) / jnp.maximum(n_cells, 1).astype(jnp.float32)
-    b_here = jnp.floor(s_ord.astype(jnp.float32) * ratio)
-    b_prev = jnp.floor((s_ord - 1).astype(jnp.float32) * ratio)
-    keep = in_range & jnp.where(over, b_here != b_prev, True)
-
-    vals = PointSet(xyz=centroid, rel=rel_mean,
-                    ring=jnp.where(in_range, ring_table, 0), mask=keep)
-    out = compact_pointset(vals, keep, capacity)
+    #
+    # The segment table is ALREADY front-packed (segments are numbered
+    # in sorted order), so output row k is simply segment
+    # ceil(k * n_cells / capacity) when over (k when not) — the same
+    # kept set as the former "floor(s*ratio) advanced" flag, fetched by
+    # one capacity-row gather instead of re-sorting the full table by a
+    # keep flag (that compaction sort was a full-width 6-operand bitonic
+    # pass, ~the cost of the cell sort itself; the gather touches
+    # capacity rows only).
+    del s_ord
+    # src_k = ceil(k * S / C), S = max(n_cells, capacity) (identity
+    # mapping when under capacity). k*S can exceed 32 bits (the
+    # surround map feeds ~422k rows at capacity 65536), so split
+    # exactly: k*S = k*(S//C)*C + k*(S%C), each term uint32-safe for
+    # C <= 65536 (k < C and S%C < C give k*(S%C) <= (C-1)^2 < 2^32).
+    if capacity > 65536:
+        raise ValueError("voxel_downsample: capacity > 65536 would "
+                         "overflow the even-thin index arithmetic")
+    k_ord = jnp.arange(capacity, dtype=jnp.uint32)
+    stride_n = jnp.maximum(n_cells, capacity).astype(jnp.uint32)
+    cap_u = jnp.uint32(capacity)
+    q, r = stride_n // cap_u, stride_n % cap_u
+    src = (k_ord * q + (k_ord * r + cap_u - 1) // cap_u).astype(jnp.int32)
+    out_mask = jnp.arange(capacity, dtype=jnp.int32) \
+        < jnp.minimum(n_cells, capacity)
+    src = jnp.minimum(src, n - 1)
+    sums_k = sums[src]                     # (capacity, 5) — one gather;
+    denom = jnp.maximum(sums_k[:, 4], 1.0)  # centroid division runs on
+    centroid = sums_k[:, :3] / denom[:, None]  # capacity rows, not n
+    rel_mean = sums_k[:, 3] / denom
+    out = PointSet(
+        xyz=jnp.where(out_mask[:, None], centroid, 0.0),
+        rel=jnp.where(out_mask, rel_mean, 0.0),
+        ring=jnp.where(out_mask, ring_table[src], 0),
+        mask=out_mask)
     if return_dropped:
         return out, jnp.maximum(n_cells - capacity, 0)
     return out
